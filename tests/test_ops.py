@@ -1,0 +1,169 @@
+"""Unit tests for box algebra, decode, NMS, letterbox."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolo_sod_tpu.ops import (
+    bbox_iou,
+    box_iou,
+    dist2bbox,
+    letterbox,
+    make_anchors,
+    non_max_suppression,
+    scale_boxes,
+    xywh2xyxy,
+    xyxy2xywh,
+)
+
+
+def test_xywh_roundtrip():
+    b = jnp.array([[10.0, 20.0, 8.0, 6.0], [5.0, 5.0, 2.0, 2.0]])
+    assert np.allclose(xyxy2xywh(xywh2xyxy(b)), b, atol=1e-5)
+
+
+def test_box_iou_known_values():
+    a = jnp.array([[0.0, 0, 10, 10]])
+    b = jnp.array([[0.0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
+    iou = np.asarray(box_iou(a, b))[0]
+    assert iou[0] == pytest.approx(1.0, abs=1e-5)
+    assert iou[1] == pytest.approx(25 / 175, abs=1e-4)
+    assert iou[2] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_bbox_iou_ciou_le_iou():
+    a = jnp.array([[5.0, 5.0, 4.0, 4.0]])
+    b = jnp.array([[6.0, 6.0, 4.0, 4.0]])
+    plain = float(np.asarray(bbox_iou(a, b, xywh=True)).squeeze())
+    ciou = float(np.asarray(bbox_iou(a, b, xywh=True, CIoU=True)).squeeze())
+    assert ciou <= plain
+
+
+def test_make_anchors_counts_and_offsets():
+    pts, strides = make_anchors([(4, 4), (2, 2)], [8, 16])
+    assert pts.shape == (20, 2)
+    assert strides.shape == (20, 1)
+    assert float(pts[0, 0]) == 0.5
+    assert float(strides[-1, 0]) == 16
+
+
+def test_dist2bbox_identity():
+    anchors = jnp.array([[5.0, 5.0]])
+    dist = jnp.array([[1.0, 2.0, 3.0, 4.0]])  # l, t, r, b
+    xyxy = dist2bbox(dist, anchors, xywh=False)
+    assert np.allclose(np.asarray(xyxy), [[4.0, 3.0, 8.0, 9.0]])
+
+
+class TestNMS:
+    def _preds(self, boxes_xywh, scores):
+        """Assemble (1, A, 4+nc) preds from per-anchor xywh + per-class scores."""
+        return jnp.concatenate(
+            [jnp.asarray(boxes_xywh, jnp.float32), jnp.asarray(scores, jnp.float32)],
+            axis=-1,
+        )[None]
+
+    def test_suppresses_overlapping_same_class(self):
+        boxes = [[10, 10, 8, 8], [11, 11, 8, 8], [40, 40, 8, 8]]
+        scores = [[0.9, 0.0], [0.8, 0.0], [0.7, 0.0]]
+        det, n = non_max_suppression(self._preds(boxes, scores), conf_thres=0.25,
+                                     iou_thres=0.45, max_det=10)
+        assert int(n[0]) == 2
+        kept_scores = sorted(np.asarray(det[0, : int(n[0]), 4]).tolist(), reverse=True)
+        assert kept_scores == pytest.approx([0.9, 0.7], abs=1e-5)
+
+    def test_keeps_overlapping_different_class(self):
+        boxes = [[10, 10, 8, 8], [11, 11, 8, 8]]
+        scores = [[0.9, 0.0], [0.0, 0.8]]
+        det, n = non_max_suppression(self._preds(boxes, scores), conf_thres=0.25,
+                                     iou_thres=0.45, max_det=10)
+        assert int(n[0]) == 2
+
+    def test_agnostic_suppresses_across_classes(self):
+        boxes = [[10, 10, 8, 8], [11, 11, 8, 8]]
+        scores = [[0.9, 0.0], [0.0, 0.8]]
+        det, n = non_max_suppression(self._preds(boxes, scores), conf_thres=0.25,
+                                     iou_thres=0.45, max_det=10, agnostic=True)
+        assert int(n[0]) == 1
+        # Agnostic mode must still emit un-offset coordinates.
+        assert float(det[0, 0, 0]) == pytest.approx(6.0, abs=1e-4)
+
+    def test_conf_threshold_filters(self):
+        boxes = [[10, 10, 8, 8], [40, 40, 8, 8]]
+        scores = [[0.9, 0.0], [0.1, 0.0]]
+        det, n = non_max_suppression(self._preds(boxes, scores), conf_thres=0.25,
+                                     iou_thres=0.45, max_det=10)
+        assert int(n[0]) == 1
+
+    def test_class_filter(self):
+        boxes = [[10, 10, 8, 8], [40, 40, 8, 8]]
+        scores = [[0.9, 0.0], [0.0, 0.8]]
+        det, n = non_max_suppression(self._preds(boxes, scores), conf_thres=0.25,
+                                     iou_thres=0.45, max_det=10, classes=[1])
+        assert int(n[0]) == 1
+        assert int(det[0, 0, 5]) == 1
+
+    def test_multi_label_expands(self):
+        boxes = [[10, 10, 8, 8]]
+        scores = [[0.9, 0.8]]
+        det, n = non_max_suppression(self._preds(boxes, scores), conf_thres=0.25,
+                                     iou_thres=0.45, max_det=10, multi_label=True)
+        # Same box kept once per class (class-aware suppression keeps both).
+        assert int(n[0]) == 2
+
+    def test_matches_reference_greedy_on_random(self):
+        """Exact-greedy parity vs a numpy O(N^2) reference implementation."""
+        rs = np.random.RandomState(3)
+        A, nc = 64, 3
+        xy = rs.uniform(20, 80, (A, 2))
+        wh = rs.uniform(5, 25, (A, 2))
+        boxes = np.concatenate([xy, wh], -1)
+        scores = rs.uniform(0, 1, (A, nc)).astype(np.float32)
+        det, n = non_max_suppression(self._preds(boxes, scores), conf_thres=0.3,
+                                     iou_thres=0.5, max_det=64)
+
+        # numpy greedy reference
+        best = scores.max(-1)
+        cls = scores.argmax(-1)
+        xyxy = np.concatenate([xy - wh / 2, xy + wh / 2], -1)
+        order = np.argsort(-best)
+        keep = []
+        for j in order:
+            if best[j] < 0.3:
+                continue
+            ok = True
+            for k in keep:
+                if cls[k] != cls[j]:
+                    continue
+                bx1 = np.maximum(xyxy[j, :2], xyxy[k, :2])
+                bx2 = np.minimum(xyxy[j, 2:], xyxy[k, 2:])
+                inter = np.prod(np.clip(bx2 - bx1, 0, None))
+                a1 = np.prod(xyxy[j, 2:] - xyxy[j, :2])
+                a2 = np.prod(xyxy[k, 2:] - xyxy[k, :2])
+                if inter / (a1 + a2 - inter + 1e-7) > 0.5:
+                    ok = False
+                    break
+            if ok:
+                keep.append(j)
+        assert int(n[0]) == len(keep)
+        got = np.asarray(det[0, : len(keep), 4])
+        want = np.sort(best[keep])[::-1]
+        assert np.allclose(np.sort(got)[::-1], want, atol=1e-5)
+
+
+def test_letterbox_shapes_and_padding():
+    img = (np.random.rand(480, 640, 3) * 255).astype(np.uint8)
+    out, gain, (dw, dh) = letterbox(jnp.asarray(img), (640, 640))
+    assert out.shape == (640, 640, 3)
+    assert gain == pytest.approx(1.0)
+    assert dh == pytest.approx(80.0)
+    # Pad rows are the 114-gray value.
+    assert np.allclose(np.asarray(out[:79]), 114 / 255, atol=1e-5)
+
+
+def test_scale_boxes_roundtrip():
+    # A box letterboxed from (480, 640) into (640, 640) maps back.
+    boxes_lb = jnp.array([[100.0, 160.0, 200.0, 260.0]])  # in letterboxed coords
+    back = scale_boxes((640, 640), boxes_lb, (480, 640))
+    assert np.allclose(np.asarray(back), [[100.0, 80.0, 200.0, 180.0]], atol=0.5)

@@ -1,0 +1,22 @@
+"""yolo-sod-tpu: a TPU-native (JAX/XLA/Pallas) small-object-detection framework.
+
+Re-implements the capabilities of the YOLO-SOD reference (an ultralytics-8.3.63
+fork for UAV small-object detection) with a TPU-first design: the model is a
+pure function over a parameter pytree, compiled once by XLA; preprocessing,
+the Multi-Attention Fusion Neck, detect decode, and NMS all run inside a
+single jitted graph; scale-out uses jax.sharding meshes instead of DDP.
+
+Public surface mirrors the reference facade (reference: engine/model.py):
+
+    from yolo_sod_tpu import YOLO
+    model = YOLO("yolov12-sod-fusion-v5-simple.yaml")
+    model.predict(img)           # jitted end-to-end inference
+    model.train(data=..., epochs=...)
+    model.val(data=...)
+"""
+
+__version__ = "0.1.0"
+
+from yolo_sod_tpu.engine.model import YOLO, Model
+
+__all__ = ["YOLO", "Model", "__version__"]

@@ -1,0 +1,137 @@
+"""Model facade: the `YOLO` public API.
+
+TPU-native analog of reference engine/model.py (Model :84, _new :231,
+_load :266, predict :501, val :609, train :742, export :694, task_map :1106).
+Holds overrides + a DetectionModel; lazily instantiates per-task
+trainer/validator/predictor.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+from yolo_sod_tpu.nn.tasks import DetectionModel, yaml_model_load
+from yolo_sod_tpu.utils import LOGGER
+
+
+class Model:
+    """Unified facade over train/val/predict/export for a detection model."""
+
+    def __init__(self, model: str | dict = "yolov12-sod-fusion-v5-simple.yaml",
+                 task: Optional[str] = None, verbose: bool = False):
+        self.overrides: dict[str, Any] = {}
+        self.task = task or "detect"
+        self.trainer = None
+        self.predictor = None
+        self.ckpt = None
+        self.metrics = None
+        model_str = str(model)
+        if isinstance(model, dict) or model_str.endswith((".yaml", ".yml")):
+            self._new(model, verbose=verbose)
+        else:
+            self._load(model_str)
+
+    # -- construction --------------------------------------------------------
+    def _new(self, cfg, verbose: bool = False):
+        """Build a fresh model from a YAML graph config."""
+        self.cfg = cfg
+        self.model = DetectionModel(cfg, verbose=verbose)
+        self.overrides["model"] = cfg if isinstance(cfg, str) else "<dict>"
+        self.overrides["task"] = self.task
+
+    def _load(self, weights: str):
+        """Load a model + params from a checkpoint file (.ckpt/.msgpack)."""
+        from yolo_sod_tpu.utils.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(weights)
+        self.ckpt = ckpt
+        self.model = DetectionModel(ckpt["model_yaml"])
+        self.model.variables = ckpt["variables"]
+        if "names" in ckpt:
+            self.model.names = ckpt["names"]
+        self.overrides["model"] = weights
+        self.overrides["task"] = self.task
+        train_args = ckpt.get("train_args") or {}
+        for k in ("imgsz", "data"):
+            if k in train_args:
+                self.overrides.setdefault(k, train_args[k])
+
+    # -- modes ---------------------------------------------------------------
+    def predict(self, source=None, stream: bool = False, **kwargs):
+        """Run inference on a source (array, path, dir, list). Returns Results list."""
+        from yolo_sod_tpu.engine.predictor import DetectionPredictor
+
+        args = {**self.overrides, "conf": kwargs.pop("conf", 0.25), "mode": "predict", **kwargs}
+        if self.predictor is None:
+            self.predictor = DetectionPredictor(overrides=args)
+            self.predictor.setup_model(self.model)
+        else:
+            self.predictor.args = get_cfg(self.predictor.args, args)
+        return self.predictor(source=source, stream=stream)
+
+    def __call__(self, source=None, **kwargs):
+        return self.predict(source, **kwargs)
+
+    def train(self, **kwargs):
+        """Train the model; returns metrics."""
+        from yolo_sod_tpu.engine.trainer import DetectionTrainer
+
+        args = {**self.overrides, **kwargs, "mode": "train"}
+        self.trainer = DetectionTrainer(overrides=args, model=self.model)
+        self.trainer.train()
+        self.model.variables = self.trainer.best_variables or self.model.variables
+        self.metrics = getattr(self.trainer, "metrics", None)
+        return self.metrics
+
+    def val(self, **kwargs):
+        """Validate on a dataset; returns DetMetrics."""
+        from yolo_sod_tpu.engine.validator import DetectionValidator
+
+        args = {**self.overrides, "mode": "val", **kwargs}
+        validator = DetectionValidator(args=get_cfg(DEFAULT_CFG_DICT, args))
+        self.metrics = validator(model=self.model)
+        return self.metrics
+
+    def export(self, **kwargs):
+        """Export to a serialized AOT-compiled form."""
+        from yolo_sod_tpu.engine.exporter import Exporter
+
+        args = {**self.overrides, "mode": "export", **kwargs}
+        return Exporter(args=get_cfg(DEFAULT_CFG_DICT, args))(model=self.model)
+
+    def track(self, source=None, **kwargs):
+        """Predict + multi-object tracking."""
+        from yolo_sod_tpu.trackers.track import register_tracker
+
+        register_tracker(self)
+        kwargs.setdefault("conf", 0.1)
+        kwargs["mode"] = "track"
+        return self.predict(source, **kwargs)
+
+    def benchmark(self, **kwargs):
+        from yolo_sod_tpu.utils.benchmarks import benchmark
+
+        return benchmark(model=self, **kwargs)
+
+    # -- introspection -------------------------------------------------------
+    @property
+    def names(self):
+        return getattr(self.model, "names", None)
+
+    @property
+    def stride(self):
+        return getattr(self.model, "stride", None)
+
+    def info(self, **kwargs):
+        return self.model.info(**kwargs)
+
+    def save(self, path: str):
+        from yolo_sod_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, model=self.model, train_args=self.overrides)
+
+
+class YOLO(Model):
+    """YOLO entry class (reference models/yolo/model.py:11)."""

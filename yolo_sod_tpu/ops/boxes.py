@@ -1,0 +1,146 @@
+"""Box algebra: format conversion, IoU family, anchor generation, rescaling.
+
+TPU-native analog of reference utils/ops.py (xywh2xyxy :395, scale_boxes :92)
+and utils/tal.py (make_anchors :333, dist2bbox :348, bbox2dist :360) and
+utils/metrics.py (bbox_iou :74, box_iou :52). Pure jnp, static shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def xywh2xyxy(x):
+    """(cx, cy, w, h) → (x1, y1, x2, y2), last-axis format."""
+    cx, cy, w, h = jnp.split(x, 4, axis=-1)
+    return jnp.concatenate([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+
+def xyxy2xywh(x):
+    """(x1, y1, x2, y2) → (cx, cy, w, h), last-axis format."""
+    x1, y1, x2, y2 = jnp.split(x, 4, axis=-1)
+    return jnp.concatenate([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], axis=-1)
+
+
+def make_anchors(hw_shapes: Sequence[Tuple[int, int]], strides: Sequence[int],
+                 grid_cell_offset: float = 0.5, dtype=jnp.float32):
+    """Anchor centers + per-anchor stride for a list of (H, W) feature shapes.
+
+    Static-shape analog of reference tal.py:333-345. Returns
+    (anchor_points (A, 2), stride_tensor (A, 1)).
+    """
+    points, stride_t = [], []
+    for (h, w), s in zip(hw_shapes, strides):
+        sx = jnp.arange(w, dtype=dtype) + grid_cell_offset
+        sy = jnp.arange(h, dtype=dtype) + grid_cell_offset
+        gy, gx = jnp.meshgrid(sy, sx, indexing="ij")
+        points.append(jnp.stack([gx, gy], axis=-1).reshape(-1, 2))
+        stride_t.append(jnp.full((h * w, 1), s, dtype=dtype))
+    return jnp.concatenate(points), jnp.concatenate(stride_t)
+
+
+def dist2bbox(distance, anchor_points, xywh: bool = True, axis: int = -1):
+    """ltrb distances → boxes around anchor points (reference tal.py:348)."""
+    lt, rb = jnp.split(distance, 2, axis=axis)
+    x1y1 = anchor_points - lt
+    x2y2 = anchor_points + rb
+    if xywh:
+        c_xy = (x1y1 + x2y2) / 2
+        wh = x2y2 - x1y1
+        return jnp.concatenate([c_xy, wh], axis=axis)
+    return jnp.concatenate([x1y1, x2y2], axis=axis)
+
+
+def bbox2dist(anchor_points, bbox, reg_max: int):
+    """xyxy boxes → ltrb distances, clamped to reg_max (reference tal.py:360)."""
+    x1y1, x2y2 = jnp.split(bbox, 2, axis=-1)
+    return jnp.clip(
+        jnp.concatenate([anchor_points - x1y1, x2y2 - anchor_points], axis=-1),
+        0, reg_max - 1.01,
+    )
+
+
+def box_iou(box1, box2, eps: float = 1e-7):
+    """Pairwise IoU between (N, 4) and (M, 4) xyxy boxes → (N, M)."""
+    a1 = box1[..., :, None, :2]
+    a2 = box1[..., :, None, 2:]
+    b1 = box2[..., None, :, :2]
+    b2 = box2[..., None, :, 2:]
+    inter = jnp.clip(jnp.minimum(a2, b2) - jnp.maximum(a1, b1), 0, None).prod(-1)
+    area1 = jnp.clip(box1[..., 2:] - box1[..., :2], 0, None).prod(-1)
+    area2 = jnp.clip(box2[..., 2:] - box2[..., :2], 0, None).prod(-1)
+    return inter / (area1[..., :, None] + area2[..., None, :] - inter + eps)
+
+
+def bbox_iou(box1, box2, xywh: bool = True, GIoU: bool = False, DIoU: bool = False,
+             CIoU: bool = False, eps: float = 1e-7):
+    """Elementwise IoU/GIoU/DIoU/CIoU between broadcastable box arrays.
+
+    Reference metrics.py:74-135. Boxes on the last axis; xywh or xyxy.
+    """
+    if xywh:
+        (x1, y1, w1, h1) = jnp.split(box1, 4, -1)
+        (x2, y2, w2, h2) = jnp.split(box2, 4, -1)
+        w1_, h1_, w2_, h2_ = w1 / 2, h1 / 2, w2 / 2, h2 / 2
+        b1x1, b1x2, b1y1, b1y2 = x1 - w1_, x1 + w1_, y1 - h1_, y1 + h1_
+        b2x1, b2x2, b2y1, b2y2 = x2 - w2_, x2 + w2_, y2 - h2_, y2 + h2_
+    else:
+        b1x1, b1y1, b1x2, b1y2 = jnp.split(box1, 4, -1)
+        b2x1, b2y1, b2x2, b2y2 = jnp.split(box2, 4, -1)
+        w1, h1 = b1x2 - b1x1, b1y2 - b1y1 + eps
+        w2, h2 = b2x2 - b2x1, b2y2 - b2y1 + eps
+
+    inter = jnp.clip(jnp.minimum(b1x2, b2x2) - jnp.maximum(b1x1, b2x1), 0, None) * \
+        jnp.clip(jnp.minimum(b1y2, b2y2) - jnp.maximum(b1y1, b2y1), 0, None)
+    w1h1 = (b1x2 - b1x1) * (b1y2 - b1y1)
+    w2h2 = (b2x2 - b2x1) * (b2y2 - b2y1)
+    union = w1h1 + w2h2 - inter + eps
+    iou = inter / union
+    if CIoU or DIoU or GIoU:
+        cw = jnp.maximum(b1x2, b2x2) - jnp.minimum(b1x1, b2x1)
+        ch = jnp.maximum(b1y2, b2y2) - jnp.minimum(b1y1, b2y1)
+        if CIoU or DIoU:
+            c2 = cw ** 2 + ch ** 2 + eps
+            rho2 = ((b2x1 + b2x2 - b1x1 - b1x2) ** 2 + (b2y1 + b2y2 - b1y1 - b1y2) ** 2) / 4
+            if CIoU:
+                w1c, h1c = b1x2 - b1x1, b1y2 - b1y1 + eps
+                w2c, h2c = b2x2 - b2x1, b2y2 - b2y1 + eps
+                v = (4 / math.pi ** 2) * (jnp.arctan(w2c / h2c) - jnp.arctan(w1c / h1c)) ** 2
+                alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+                return iou - (rho2 / c2 + v * alpha)
+            return iou - rho2 / c2
+        c_area = cw * ch + eps
+        return iou - (c_area - union) / c_area
+    return iou
+
+
+def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding: bool = True):
+    """Rescale xyxy boxes from letterboxed img1_shape (h, w) back to img0_shape.
+
+    Reference ops.py:92-130.
+    """
+    if ratio_pad is None:
+        gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+        pad_w = round((img1_shape[1] - img0_shape[1] * gain) / 2 - 0.1)
+        pad_h = round((img1_shape[0] - img0_shape[0] * gain) / 2 - 0.1)
+    else:
+        gain = ratio_pad[0][0]
+        pad_w, pad_h = ratio_pad[1]
+    if padding:
+        boxes = boxes - jnp.array([pad_w, pad_h, pad_w, pad_h], dtype=boxes.dtype)
+    boxes = boxes / gain
+    return clip_boxes(boxes, img0_shape)
+
+
+def clip_boxes(boxes, shape):
+    """Clip xyxy boxes to image shape (h, w)."""
+    h, w = shape[:2]
+    x1 = jnp.clip(boxes[..., 0:1], 0, w)
+    y1 = jnp.clip(boxes[..., 1:2], 0, h)
+    x2 = jnp.clip(boxes[..., 2:3], 0, w)
+    y2 = jnp.clip(boxes[..., 3:4], 0, h)
+    return jnp.concatenate([x1, y1, x2, y2], axis=-1)

@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers: the SPMD replacement for DDP.
+
+TPU-native replacement for the reference's torch.distributed machinery
+(utils/dist.py:25-66 subprocess relaunch, trainer.py:217-228 NCCL process
+group, DDP wrap :273): one SPMD program over a jax.sharding.Mesh. The batch
+axis shards over 'data'; gradient reduction is an XLA all-reduce over ICI
+emitted by the compiler — there is no explicit collective code, no loss *=
+world_size correction (trainer.py:382), no rank-0 gating: jit handles it.
+
+Axis conventions (extension points, all optional beyond 'data'):
+    data  — batch dimension (DP)
+    model — channel/tensor dimension (TP, unused by default)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(shape: Optional[Sequence[int]] = None,
+               axes: Optional[Sequence[str]] = None,
+               devices=None) -> Mesh:
+    """Create a device mesh; default = all devices on one 'data' axis."""
+    devices = devices if devices is not None else jax.devices()
+    axes = tuple(axes) if axes else ("data",)
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    arr = np.array(devices).reshape(tuple(shape))
+    return Mesh(arr, axes)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding that splits the leading (batch) dimension over `axis`."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (params, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put a host batch pytree with the batch dim sharded over `axis`."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,139 @@
+"""Task-Aligned Assigner — fully vectorized, jit-safe, fixed shapes.
+
+TPU-native re-expression of reference utils/tal.py:14-296. Ground-truth boxes
+arrive padded to a static max_boxes M with a validity mask, so every tensor is
+dense (B, M, A) and the whole assignment compiles into the training graph —
+there is no CPU-OOM fallback path (reference tal.py:75-80) because there is
+no host round-trip at all.
+
+Semantics parity notes:
+- align metric = score^alpha * CIoU^beta over in-gt-box candidates
+  (get_box_metrics, reference :133-152).
+- top-k per GT with duplicate-count dedup (select_topk_candidates :158-192):
+  an anchor counted more than once for the same GT is dropped. With distinct
+  metrics this never triggers; we reproduce the effect via one-hot scatter.
+- multi-GT conflicts resolved by max CIoU (select_highest_overlaps :269-296).
+- target scores = one-hot(label) * (metric / metric.amax per GT * overlaps.amax)
+  (reference :111-117, :236-243).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from yolo_sod_tpu.ops.boxes import bbox_iou
+
+
+def select_candidates_in_gts(xy_centers, gt_bboxes, eps: float = 1e-9):
+    """(A, 2) anchor centers inside (B, M, 4) xyxy gt boxes → (B, M, A) bool."""
+    lt = gt_bboxes[..., None, :2]          # (B, M, 1, 2)
+    rb = gt_bboxes[..., None, 2:]          # (B, M, 1, 2)
+    xy = xy_centers[None, None]            # (1, 1, A, 2)
+    deltas = jnp.concatenate([xy - lt, rb - xy], axis=-1)  # (B, M, A, 4)
+    return deltas.min(axis=-1) > eps
+
+
+def select_highest_overlaps(mask_pos, overlaps, n_max_boxes: int):
+    """Resolve anchors claimed by multiple GTs: keep the max-overlap GT.
+
+    Args:
+        mask_pos: (B, M, A) positive mask.
+        overlaps: (B, M, A) CIoU.
+
+    Returns:
+        target_gt_idx (B, A), fg_mask (B, A), mask_pos (B, M, A).
+    """
+    fg_count = mask_pos.sum(axis=-2)               # (B, A)
+    multi = fg_count > 1
+    best_gt = overlaps.argmax(axis=1)              # (B, A)
+    is_best = jax.nn.one_hot(best_gt, n_max_boxes, dtype=mask_pos.dtype)  # (B, A, M)
+    is_best = jnp.swapaxes(is_best, 1, 2)          # (B, M, A)
+    mask_pos = jnp.where(multi[:, None, :], is_best * (mask_pos.sum(-2, keepdims=True) > 0),
+                         mask_pos)
+    fg_mask = mask_pos.sum(axis=-2) > 0            # (B, A)
+    target_gt_idx = mask_pos.argmax(axis=-2)       # (B, A)
+    return target_gt_idx, fg_mask, mask_pos
+
+
+class TaskAlignedAssigner:
+    """Stateless functional assigner; __call__ is jit-safe."""
+
+    def __init__(self, topk: int = 10, num_classes: int = 80, alpha: float = 0.5,
+                 beta: float = 6.0, eps: float = 1e-9):
+        self.topk = topk
+        self.num_classes = num_classes
+        self.alpha = alpha
+        self.beta = beta
+        self.eps = eps
+
+    def __call__(self, pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt):
+        """Assign targets.
+
+        Args:
+            pd_scores: (B, A, nc) sigmoid scores.
+            pd_bboxes: (B, A, 4) xyxy, image pixels.
+            anc_points: (A, 2) anchor centers, image pixels.
+            gt_labels: (B, M, 1) class ids.
+            gt_bboxes: (B, M, 4) xyxy pixels, zero-padded.
+            mask_gt: (B, M, 1) validity.
+
+        Returns:
+            target_labels (B, A), target_bboxes (B, A, 4),
+            target_scores (B, A, nc), fg_mask (B, A) bool, target_gt_idx (B, A).
+        """
+        B, M = gt_bboxes.shape[:2]
+        A = pd_scores.shape[1]
+        if M == 0:
+            return (jnp.zeros((B, A), jnp.int32), jnp.zeros((B, A, 4), pd_bboxes.dtype),
+                    jnp.zeros_like(pd_scores), jnp.zeros((B, A), bool),
+                    jnp.zeros((B, A), jnp.int32))
+
+        mask_gt_b = mask_gt[..., 0] > 0                         # (B, M)
+        mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B, M, A)
+
+        # Align metric over candidate anchors (get_box_metrics, reference :133-152).
+        labels = jnp.clip(gt_labels[..., 0].astype(jnp.int32), 0, self.num_classes - 1)
+        scores_per_gt = jnp.take_along_axis(
+            pd_scores.transpose(0, 2, 1),                        # (B, nc, A)
+            labels[:, :, None], axis=1,
+        )                                                        # (B, M, A)
+        overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :],
+                            xywh=False, CIoU=True)[..., 0]       # (B, M, A)
+        overlaps = jnp.clip(overlaps, 0, None)
+        valid = mask_in_gts & mask_gt_b[:, :, None]
+        align = (scores_per_gt ** self.alpha) * (overlaps ** self.beta)
+        align = jnp.where(valid, align, 0.0)
+        overlaps = jnp.where(valid, overlaps, 0.0)
+
+        # Top-k per GT (select_topk_candidates, reference :158-192).
+        k = min(self.topk, A)
+        topk_vals, topk_idx = jax.lax.top_k(align, k)            # (B, M, k)
+        topk_valid = topk_vals > self.eps
+        mask_topk = jnp.zeros_like(align, dtype=bool)
+        mask_topk = jax.vmap(jax.vmap(
+            lambda m, idx, v: m.at[idx].set(v, mode="drop")
+        ))(mask_topk, topk_idx, topk_valid)
+
+        mask_pos = (mask_topk & valid).astype(align.dtype)       # (B, M, A)
+        target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(mask_pos, overlaps, M)
+
+        # Gather targets (get_targets, reference :194-243).
+        target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)  # (B, A)
+        target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)
+        target_labels = jnp.where(fg_mask, target_labels, 0)
+
+        one_hot = jax.nn.one_hot(target_labels, self.num_classes, dtype=align.dtype)
+        one_hot = one_hot * fg_mask[..., None]
+
+        # Normalize by per-GT max metric (reference _forward :111-117).
+        align_pos = align * mask_pos
+        overlaps_pos = overlaps * mask_pos
+        pos_align_max = align_pos.max(axis=-1, keepdims=True)    # (B, M, 1)
+        pos_overlap_max = overlaps_pos.max(axis=-1, keepdims=True)
+        norm_align = (align_pos * pos_overlap_max / (pos_align_max + self.eps)).max(-2)  # (B, A)
+        target_scores = one_hot * norm_align[..., None]
+
+        return (target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)
