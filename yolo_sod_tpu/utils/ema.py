@@ -20,5 +20,10 @@ def ema_update(ema_tree, new_tree, updates, decay: float = 0.9999, tau: float = 
 
 
 def ema_init(tree):
-    """EMA starts as a copy of the params."""
-    return jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), tree)
+    """EMA starts as a copy of the params.
+
+    Must be a genuine copy: astype on an already-fp32 leaf is a no-op that
+    aliases the same buffer, and aliased params/ema leaves break the train
+    step's buffer donation (donate-twice error).
+    """
+    return jax.tree_util.tree_map(lambda p: jnp.array(p, dtype=jnp.float32, copy=True), tree)
