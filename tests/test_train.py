@@ -1,0 +1,122 @@
+"""End-to-end training smoke tests on a tiny synthetic dataset.
+
+Mirrors the reference's tiny-everything doctrine (SURVEY.md §4: coco8,
+imgsz=32, 1-2 epochs) with a generated dataset: colored rectangles on noise,
+YOLO-layout images/ + labels/ trees.
+"""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+TMP = Path(__file__).parent / "tmp"
+
+
+def make_synthetic_dataset(root: Path, n_images: int = 8, imgsz: int = 96,
+                           nc: int = 2, seed: int = 0) -> Path:
+    """Write a tiny dataset; returns the dataset yaml path."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    for split in ("train", "val"):
+        (root / "images" / split).mkdir(parents=True, exist_ok=True)
+        (root / "labels" / split).mkdir(parents=True, exist_ok=True)
+        for i in range(n_images):
+            img = rng.integers(0, 60, (imgsz, imgsz, 3), np.uint8)
+            rows = []
+            for _ in range(int(rng.integers(1, 4))):
+                c = int(rng.integers(0, nc))
+                w, h = rng.uniform(0.2, 0.4, 2)
+                cx = rng.uniform(w / 2, 1 - w / 2)
+                cy = rng.uniform(h / 2, 1 - h / 2)
+                x1, y1 = int((cx - w / 2) * imgsz), int((cy - h / 2) * imgsz)
+                x2, y2 = int((cx + w / 2) * imgsz), int((cy + h / 2) * imgsz)
+                color = (0, 0, 220) if c == 0 else (0, 220, 0)
+                cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+                rows.append(f"{c} {cx:.6f} {cy:.6f} {w:.6f} {h:.6f}")
+            cv2.imwrite(str(root / "images" / split / f"{i:03d}.jpg"), img)
+            (root / "labels" / split / f"{i:03d}.txt").write_text("\n".join(rows))
+    yaml_path = root / "data.yaml"
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/train\nval: images/val\n"
+        f"names:\n  0: red\n  1: green\n")
+    return yaml_path
+
+
+@pytest.fixture(scope="module")
+def dataset_yaml():
+    root = TMP / "synth"
+    if root.exists():
+        shutil.rmtree(root)
+    yield make_synthetic_dataset(root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_dataset_and_loader(dataset_yaml):
+    from yolo_sod_tpu.data import YOLODataset, build_dataloader, check_det_dataset
+
+    data = check_det_dataset(dataset_yaml)
+    assert data["nc"] == 2
+    ds = YOLODataset(data["train"], imgsz=64, augment=True,
+                     hyp={"mosaic": 1.0, "fliplr": 0.5, "hsv_h": 0.015,
+                          "hsv_s": 0.7, "hsv_v": 0.4, "translate": 0.1,
+                          "scale": 0.5, "mixup": 0.2, "copy_paste": 0.1},
+                     nc=2)
+    item = ds[0]
+    assert item["img"].shape == (64, 64, 3)
+    assert item["labels"].ndim == 2 and item["labels"].shape[1] == 5
+
+    dl = build_dataloader(ds, batch=4, shuffle=True)
+    batch = next(iter(dl))
+    assert batch["img"].shape == (4, 64, 64, 3)
+    assert batch["img"].dtype == np.float32
+    assert 0.0 <= batch["img"].min() and batch["img"].max() <= 1.0
+    M = dl.max_boxes
+    assert batch["cls"].shape == (4, M)
+    assert batch["bboxes"].shape == (4, M, 4)
+    assert batch["mask_gt"].sum() > 0
+    # mosaic close zeroes the probabilities
+    ds.close_mosaic()
+    assert ds.hyp["mosaic"] == 0.0
+
+
+def test_train_loop_loss_decreases(dataset_yaml):
+    from yolo_sod_tpu.engine.trainer import DetectionTrainer
+    from yolo_sod_tpu.nn.tasks import DetectionModel
+
+    model = DetectionModel("yolov12n.yaml", nc=2)
+    trainer = DetectionTrainer(
+        overrides={"data": str(dataset_yaml), "epochs": 2, "batch": 4,
+                   "imgsz": 64, "optimizer": "SGD", "lr0": 0.01,
+                   "mosaic": 0.0, "mixup": 0.0, "copy_paste": 0.0,
+                   "warmup_epochs": 0.0, "val": True, "plots": False,
+                   "save": True, "project": str(TMP / "runs"),
+                   "name": "smoke", "exist_ok": True, "workers": 0,
+                   "close_mosaic": 0, "patience": 100, "nbs": 4},
+        model=model)
+    trainer.train()
+    assert trainer.tloss is not None and np.isfinite(trainer.tloss).all()
+    assert trainer.last.exists()
+    assert (trainer.save_dir / "results.csv").exists()
+    assert trainer.metrics is not None
+
+
+def test_resume(dataset_yaml):
+    from yolo_sod_tpu.engine.trainer import DetectionTrainer
+    from yolo_sod_tpu.nn.tasks import DetectionModel
+
+    last = TMP / "runs" / "smoke" / "weights" / "last.ckpt"
+    assert last.exists(), "run test_train_loop first"
+    model = DetectionModel("yolov12n.yaml", nc=2)
+    trainer = DetectionTrainer(
+        overrides={"data": str(dataset_yaml), "epochs": 3, "batch": 4,
+                   "imgsz": 64, "optimizer": "SGD", "lr0": 0.01,
+                   "warmup_epochs": 0.0, "val": False, "save": False,
+                   "mosaic": 0.0, "project": str(TMP / "runs"),
+                   "name": "smoke", "exist_ok": True, "close_mosaic": 0,
+                   "resume": str(last)},
+        model=model)
+    trainer._setup_train()
+    assert trainer.start_epoch == 2

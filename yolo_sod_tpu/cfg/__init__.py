@@ -168,3 +168,12 @@ def entrypoint(debug: str = ""):
         overrides["data"] = TASK2DATA.get(task or "detect")
     LOGGER.info(f"{colorstr('yolo-sod:')} task={task or yolo.task} mode={mode} model={model}")
     return getattr(yolo, mode)(**overrides)
+
+
+def get_save_dir(args, name: str | None = None) -> Path:
+    """Resolve runs/{task}/{name} with auto-increment (reference cfg get_save_dir)."""
+    from yolo_sod_tpu.utils import increment_path
+
+    project = getattr(args, "project", None) or Path("runs") / getattr(args, "task", "detect")
+    name = name or getattr(args, "name", None) or getattr(args, "mode", "exp")
+    return increment_path(Path(project) / name, exist_ok=getattr(args, "exist_ok", False))

@@ -1,0 +1,145 @@
+"""DataLoader: threaded prefetch + static-shape collate.
+
+Replaces the reference's InfiniteDataLoader (contract: SURVEY.md §1.1 —
+iterate forever, reset() after mutating the dataset, e.g. mosaic close at
+trainer.py:355-357). Collation is TPU-shaped: NHWC float32 images in [0,1]
+and labels padded to a STATIC per-dataset M so the jitted train step never
+retraces on a ragged batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+
+from yolo_sod_tpu.data.dataset import YOLODataset
+
+
+def collate(items: list[dict], max_boxes: int) -> dict:
+    """Stack per-item dicts into the training batch contract.
+
+    Returns {"img" (B,H,W,3) float32 RGB in [0,1], "cls" (B,M), "bboxes"
+    (B,M,4) normalized xywh, "mask_gt" (B,M), "batch_idx" flat GT ownership,
+    "im_file", "ori_shape", "ratio_pad"}.
+    """
+    B = len(items)
+    M = max_boxes
+    img = np.stack([it["img"] for it in items]).astype(np.float32)
+    img = img[..., ::-1] / 255.0                       # BGR -> RGB, [0,1], NHWC
+    cls = np.zeros((B, M), np.float32)
+    bboxes = np.zeros((B, M, 4), np.float32)
+    mask = np.zeros((B, M), np.float32)
+    batch_idx = []
+    for b, it in enumerate(items):
+        lb = it["labels"][:M]
+        n = len(lb)
+        if n:
+            cls[b, :n] = lb[:, 0]
+            bboxes[b, :n] = lb[:, 1:5]
+            mask[b, :n] = 1.0
+            batch_idx.append(np.full(n, b, np.int32))
+    return {
+        "img": np.ascontiguousarray(img),
+        "cls": cls,
+        "bboxes": bboxes,
+        "mask_gt": mask,
+        "batch_idx": np.concatenate(batch_idx) if batch_idx else np.zeros(0, np.int32),
+        "im_file": [it["im_file"] for it in items],
+        "ori_shape": [it["ori_shape"] for it in items],
+        "ratio_pad": [it["ratio_pad"] for it in items],
+    }
+
+
+class DataLoader:
+    """Deterministic shuffled epoch iterator with background prefetch.
+
+    One host core feeds the chip here, so the loader uses a small thread pool
+    (cv2 ops release the GIL) with a bounded queue rather than worker
+    processes; `reset()` rebuilds the iterator after dataset mutation.
+    """
+
+    def __init__(self, dataset: YOLODataset, batch_size: int = 16,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 max_boxes: Optional[int] = None, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.max_boxes = max_boxes or dataset.max_boxes()
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self):
+        idx = self._epoch_indices()
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    sel = idx[b * self.batch_size: (b + 1) * self.batch_size]
+                    if len(sel) == 0:
+                        break
+                    items = [self.dataset[int(i)] for i in sel]
+                    q.put(collate(items, self.max_boxes))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+        self.epoch += 1
+
+    def reset(self):
+        """Re-arm after dataset mutation (mosaic close); epoch counter keeps."""
+        pass  # iteration state is per-__iter__; nothing cached across epochs
+
+
+def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train",
+                       stride: int = 32, seed: int = 0) -> YOLODataset:
+    """Construct a YOLODataset from the flat cfg namespace (reference contract)."""
+    augment = mode == "train"
+    hyp = cfg if isinstance(cfg, dict) else vars(cfg).copy() if hasattr(cfg, "__dict__") else dict(cfg)
+    return YOLODataset(
+        img_path,
+        imgsz=cfg["imgsz"] if isinstance(cfg, dict) else cfg.imgsz,
+        augment=augment,
+        hyp=hyp,
+        rect=(cfg.get("rect", False) if isinstance(cfg, dict) else cfg.rect) and mode == "val",
+        stride=stride,
+        single_cls=cfg.get("single_cls", False) if isinstance(cfg, dict) else cfg.single_cls,
+        fraction=(cfg.get("fraction", 1.0) if isinstance(cfg, dict) else cfg.fraction) if mode == "train" else 1.0,
+        nc=data.get("nc"),
+        seed=seed,
+    )
+
+
+def build_dataloader(dataset: YOLODataset, batch: int, workers: int = 8,
+                     shuffle: bool = True, seed: int = 0,
+                     max_boxes: Optional[int] = None) -> DataLoader:
+    return DataLoader(dataset, batch_size=batch, shuffle=shuffle, seed=seed,
+                      drop_last=shuffle, max_boxes=max_boxes)

@@ -1,0 +1,194 @@
+"""YOLODataset: image+label loading with the mosaic/mixup/affine pipeline.
+
+Rebuilt from the call-site contract (SURVEY.md §1.1); emits per-item dicts
+{"img" HWC uint8 BGR, "labels" (n,5) normalized, "im_file", "ori_shape",
+"ratio_pad"}. Augmentation strengths come straight from the flat cfg keys
+(mosaic, mixup, copy_paste, degrees, translate, scale, shear, perspective,
+fliplr, flipud, hsv_h/s/v), mutated live by the staged-training callbacks —
+so they are read at __getitem__ time, not cached at init.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import cv2
+import numpy as np
+
+from yolo_sod_tpu.data.augment import (
+    augment_hsv,
+    copy_paste_flip,
+    letterbox_np,
+    mixup,
+    random_perspective,
+    xywhn2xyxy,
+    xyxy2xywhn,
+)
+from yolo_sod_tpu.data.utils import img2label_paths, list_images, load_label
+from yolo_sod_tpu.utils import LOGGER
+
+
+class YOLODataset:
+    """Detection dataset over YOLO-layout images/ + labels/ trees."""
+
+    def __init__(self, img_path, imgsz: int = 640, augment: bool = True,
+                 hyp=None, rect: bool = False, stride: int = 32,
+                 single_cls: bool = False, fraction: float = 1.0,
+                 nc: Optional[int] = None, seed: int = 0):
+        self.img_path = img_path
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp or {}
+        self.rect = rect
+        self.stride = stride
+        self.single_cls = single_cls
+        self.im_files = list_images(img_path)
+        if fraction < 1.0:
+            self.im_files = self.im_files[: max(1, round(len(self.im_files) * fraction))]
+        self.label_files = img2label_paths(self.im_files)
+        self.nc = nc
+        self.labels = [load_label(lf, nc) for lf in self.label_files]
+        if single_cls:
+            for lb in self.labels:
+                lb[:, 0] = 0
+        self.rng = np.random.default_rng(seed)
+        n_boxes = sum(len(l) for l in self.labels)
+        LOGGER.info(f"dataset: {len(self.im_files)} images, {n_boxes} boxes ({img_path})")
+
+    def __len__(self):
+        return len(self.im_files)
+
+    def _hyp(self, key, default=0.0):
+        h = self.hyp
+        v = getattr(h, key, None) if not isinstance(h, dict) else h.get(key)
+        return default if v is None else v
+
+    def load_image(self, i: int):
+        """Load image i, resized so the long side == imgsz (reference contract:
+        train-time images pre-scale to imgsz before mosaic)."""
+        im = cv2.imread(self.im_files[i])
+        if im is None:
+            raise FileNotFoundError(f"image not found: {self.im_files[i]}")
+        h0, w0 = im.shape[:2]
+        r = self.imgsz / max(h0, w0)
+        if r != 1:
+            im = cv2.resize(im, (min(round(w0 * r), self.imgsz), min(round(h0 * r), self.imgsz)),
+                            interpolation=cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA)
+        return im, (h0, w0)
+
+    # -- mosaic ---------------------------------------------------------------
+    def _mosaic4(self, index: int):
+        """4-image mosaic on a 2x canvas; returns (img, labels_xyxy)."""
+        s = self.imgsz
+        yc = int(self.rng.uniform(s // 2, 2 * s - s // 2))
+        xc = int(self.rng.uniform(s // 2, 2 * s - s // 2))
+        indices = [index] + [int(self.rng.integers(0, len(self))) for _ in range(3)]
+        img4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
+        labels4 = []
+        for i, idx in enumerate(indices):
+            img, _ = self.load_image(idx)
+            h, w = img.shape[:2]
+            if i == 0:
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+            elif i == 1:
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+            elif i == 2:
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+            else:
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            padw, padh = x1a - x1b, y1a - y1b
+            lb = xywhn2xyxy(self.labels[idx], w, h, padw, padh)
+            labels4.append(lb)
+        labels4 = np.concatenate(labels4, 0) if labels4 else np.zeros((0, 5), np.float32)
+        labels4[:, 1:] = labels4[:, 1:].clip(0, 2 * s)
+        return img4, labels4
+
+    # -- item -----------------------------------------------------------------
+    def __getitem__(self, index: int) -> dict:
+        imgsz = self.imgsz
+        ratio_pad = (1.0, (0.0, 0.0))
+        if self.augment and self.rng.random() < self._hyp("mosaic"):
+            img, labels_xyxy = self._mosaic4(index)
+            border = (-imgsz // 2, -imgsz // 2)
+            img, labels_xyxy = random_perspective(
+                img, labels_xyxy, self.rng,
+                degrees=self._hyp("degrees"), translate=self._hyp("translate", 0.1),
+                scale=self._hyp("scale", 0.5), shear=self._hyp("shear"),
+                perspective=self._hyp("perspective"), border=border)
+            if self.rng.random() < self._hyp("mixup"):
+                idx2 = int(self.rng.integers(0, len(self)))
+                img2, labels2 = self._mosaic4(idx2)
+                img2, labels2 = random_perspective(
+                    img2, labels2, self.rng,
+                    degrees=self._hyp("degrees"), translate=self._hyp("translate", 0.1),
+                    scale=self._hyp("scale", 0.5), shear=self._hyp("shear"),
+                    perspective=self._hyp("perspective"), border=border)
+                img, labels_xyxy = mixup(img, labels_xyxy, img2, labels2, self.rng)
+            ori_shape = (imgsz, imgsz)
+        else:
+            img, ori_shape = self.load_image(index)
+            img, r, (dw, dh) = letterbox_np(img, (imgsz, imgsz), scaleup=self.augment)
+            ratio_pad = (r, (dw, dh))
+            h, w = ori_shape
+            labels_xyxy = xywhn2xyxy(self.labels[index], round(w * r), round(h * r), dw, dh)
+            if self.augment:
+                img = np.ascontiguousarray(img)
+                img, labels_xyxy = random_perspective(
+                    img, labels_xyxy, self.rng,
+                    degrees=self._hyp("degrees"), translate=self._hyp("translate", 0.1),
+                    scale=self._hyp("scale", 0.5), shear=self._hyp("shear"),
+                    perspective=self._hyp("perspective"))
+
+        if self.augment:
+            img = np.ascontiguousarray(img)
+            img, labels_xyxy = copy_paste_flip(img, labels_xyxy, self.rng,
+                                               p=self._hyp("copy_paste"))
+            augment_hsv(img, self.rng, self._hyp("hsv_h", 0.015),
+                        self._hyp("hsv_s", 0.7), self._hyp("hsv_v", 0.4))
+            if self.rng.random() < self._hyp("flipud"):
+                img = np.flipud(img)
+                if len(labels_xyxy):
+                    y1 = labels_xyxy[:, 2].copy()
+                    labels_xyxy[:, 2] = img.shape[0] - labels_xyxy[:, 4]
+                    labels_xyxy[:, 4] = img.shape[0] - y1
+            if self.rng.random() < self._hyp("fliplr", 0.5):
+                img = np.fliplr(img)
+                if len(labels_xyxy):
+                    x1 = labels_xyxy[:, 1].copy()
+                    labels_xyxy[:, 1] = img.shape[1] - labels_xyxy[:, 3]
+                    labels_xyxy[:, 3] = img.shape[1] - x1
+
+        h, w = img.shape[:2]
+        labels = xyxy2xywhn(labels_xyxy, w, h)
+        # Drop zero-area boxes produced by warping/clipping.
+        if len(labels):
+            labels = labels[(labels[:, 3] > 1e-4) & (labels[:, 4] > 1e-4)]
+        return {
+            "img": np.ascontiguousarray(img),
+            "labels": labels.astype(np.float32),
+            "im_file": self.im_files[index],
+            "ori_shape": ori_shape,
+            "ratio_pad": ratio_pad,
+        }
+
+    def close_mosaic(self):
+        """Zero out mosaic/mixup/copy_paste (reference _close_dataloader_mosaic)."""
+        for k in ("mosaic", "mixup", "copy_paste"):
+            if isinstance(self.hyp, dict):
+                self.hyp[k] = 0.0
+            else:
+                setattr(self.hyp, k, 0.0)
+        LOGGER.info("dataset: mosaic/mixup/copy_paste closed")
+
+    def max_boxes(self, cap: int = 800, multiple: int = 32) -> int:
+        """Static label-pad size M for jit: max GT count over the dataset,
+        rounded up to `multiple`, clipped to `cap` (excess boxes drop)."""
+        m = max((len(l) for l in self.labels), default=1)
+        m = min(int(np.ceil(max(m, 1) / multiple) * multiple), cap)
+        return max(m, multiple)

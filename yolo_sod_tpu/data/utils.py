@@ -1,0 +1,104 @@
+"""Dataset discovery + label IO (contract of the absent ultralytics.data.utils).
+
+check_det_dataset resolves a dataset YAML {path, train, val, names} to
+absolute paths; img2label_paths maps images/ -> labels/ txt files in YOLO
+format (`cls cx cy w h` normalized, one row per box).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from yolo_sod_tpu.utils import LOGGER, yaml_load
+
+IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
+
+
+def check_det_dataset(data) -> dict:
+    """Resolve a detection dataset YAML (or dict) to absolute paths + names."""
+    if isinstance(data, (str, Path)):
+        d = yaml_load(data)
+        d["yaml_file"] = str(data)
+        base = Path(data).parent
+    else:
+        d = dict(data)
+        base = Path(d.get("path", "."))
+
+    root = Path(d.get("path", "")) if d.get("path") else base
+    if not root.is_absolute():
+        root = (base / root).resolve()
+    d["path"] = root
+
+    for split in ("train", "val", "test"):
+        if d.get(split):
+            p = Path(d[split])
+            d[split] = str(p if p.is_absolute() else root / p)
+
+    names = d.get("names")
+    if isinstance(names, (list, tuple)):
+        names = dict(enumerate(names))
+    elif isinstance(names, dict):
+        names = {int(k): v for k, v in names.items()}
+    else:
+        raise ValueError(f"dataset yaml missing 'names': {d.get('yaml_file', d)}")
+    d["names"] = names
+    d["nc"] = len(names)
+    return d
+
+
+def img2label_paths(img_paths):
+    """images/xxx.jpg -> labels/xxx.txt (standard YOLO layout)."""
+    out = []
+    for p in img_paths:
+        p = str(p)
+        if "/images/" in p:
+            lp = p.replace("/images/", "/labels/", 1)
+        else:
+            lp = str(Path(p).parent / "labels" / Path(p).name)
+        out.append(str(Path(lp).with_suffix(".txt")))
+    return out
+
+
+def list_images(path) -> list[str]:
+    """Expand a dir / txt-list / single file into a sorted image path list."""
+    path = Path(path)
+    files: list[str] = []
+    if path.is_dir():
+        files = sorted(str(p) for p in path.rglob("*")
+                       if p.suffix.lower().lstrip(".") in IMG_FORMATS)
+    elif path.suffix == ".txt":
+        base = path.parent
+        for line in path.read_text().splitlines():
+            line = line.strip()
+            if line:
+                p = Path(line)
+                files.append(str(p if p.is_absolute() else base / p))
+    elif path.is_file():
+        files = [str(path)]
+    if not files:
+        raise FileNotFoundError(f"no images found in {path}")
+    return files
+
+
+def load_label(label_path, nc: int | None = None) -> np.ndarray:
+    """Read one YOLO txt label file -> (n, 5) [cls, cx, cy, w, h] float32."""
+    p = Path(label_path)
+    if not p.exists():
+        return np.zeros((0, 5), np.float32)
+    rows = []
+    for line in p.read_text().splitlines():
+        parts = line.split()
+        if len(parts) >= 5:
+            rows.append([float(x) for x in parts[:5]])
+    if not rows:
+        return np.zeros((0, 5), np.float32)
+    lb = np.array(rows, np.float32)
+    lb[:, 1:] = np.clip(lb[:, 1:], 0, 1)
+    if nc is not None:
+        keep = lb[:, 0] < nc
+        if not keep.all():
+            LOGGER.warning(f"{label_path}: dropped {int((~keep).sum())} rows with class >= {nc}")
+            lb = lb[keep]
+    return lb

@@ -107,8 +107,12 @@ def build_optimizer(params, name: str = "auto", lr: float = 0.01,
 
 
 def set_hyperparams(opt_state, lr: float, momentum: Optional[float] = None):
-    """Overwrite injected lr/momentum in-place on the host (no retrace)."""
-    hp = opt_state.hyperparams
+    """Overwrite injected lr/momentum in-place on the host (no retrace).
+
+    Handles the optax.MultiSteps wrapper used for gradient accumulation.
+    """
+    inner = getattr(opt_state, "inner_opt_state", opt_state)
+    hp = inner.hyperparams
     hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
     if momentum is not None and "momentum" in hp:
         hp["momentum"] = jnp.asarray(momentum, jnp.float32)
@@ -163,7 +167,18 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
         step = state.step + 1
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema = ema_update(state.ema_params, params, step)
+        if accumulate > 1:
+            # tx is wrapped in optax.MultiSteps: params only move every
+            # `accumulate`-th micro-batch; gate the EMA on applied steps so
+            # its decay ramp counts optimizer updates like the reference
+            # (trainer.py:592 — EMA inside optimizer_step only).
+            applied = (step % accumulate) == 0
+            n_applied = step // accumulate
+            new_ema = ema_update(state.ema_params, params, n_applied)
+            ema = jax.tree_util.tree_map(
+                lambda e, n: jnp.where(applied, n, e), state.ema_params, new_ema)
+        else:
+            ema = ema_update(state.ema_params, params, step)
         return TrainState(params=params, batch_stats=new_bs, opt_state=opt_state,
                           ema_params=ema, step=step), {"loss": loss, "items": items}
 

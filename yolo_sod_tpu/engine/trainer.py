@@ -1,0 +1,377 @@
+"""Trainer: the full training loop, TPU-native.
+
+Re-expression of reference engine/trainer.py (BaseTrainer.train :170,
+_setup_train :230-317, _do_train :319-475, save_model :513-546,
+build_optimizer :759-821, resume :692-758) around one jitted SPMD step:
+
+- forward+backward+clip+update+EMA is a single compiled function
+  (engine/train_step.py); the per-batch Python body only computes warmup
+  schedules and feeds data;
+- no AMP scaler / DDP wrap / world-size loss scaling — bf16 is native and the
+  gradient all-reduce is an XLA collective implied by batch sharding;
+- warmup lr/momentum interpolation (trainer.py:367-376) writes injected optax
+  hyperparams host-side — zero retraces;
+- checkpoints are msgpack pytrees with the same last/best/periodic policy.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg, get_save_dir
+from yolo_sod_tpu.data import build_dataloader, build_yolo_dataset, check_det_dataset
+from yolo_sod_tpu.engine.train_step import (
+    TrainState,
+    build_optimizer,
+    init_train_state,
+    make_train_step,
+    set_hyperparams,
+    shard_state,
+)
+from yolo_sod_tpu.parallel.mesh import build_mesh, shard_batch
+from yolo_sod_tpu.utils import LOGGER, TQDM, colorstr
+from yolo_sod_tpu.utils.callbacks import add_integration_callbacks, get_default_callbacks
+from yolo_sod_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from yolo_sod_tpu.utils.loss import DetectionLoss
+
+
+class EarlyStopping:
+    """Fitness-plateau stopper (reference torch_utils.py:713)."""
+
+    def __init__(self, patience: int = 50):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, fitness: Optional[float]):
+        if fitness is None:
+            return False
+        if fitness >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fitness
+        stop = (epoch - self.best_epoch) >= self.patience
+        if stop:
+            LOGGER.info(f"EarlyStopping: no improvement in last {self.patience} epochs "
+                        f"(best fitness={self.best_fitness:.5f} @ epoch {self.best_epoch}).")
+        return stop
+
+
+class DetectionTrainer:
+    """Detection training engine (reference BaseTrainer + DetectionTrainer)."""
+
+    def __init__(self, overrides: Optional[dict] = None, model=None, _callbacks=None):
+        self.args = get_cfg(DEFAULT_CFG_DICT, overrides or {})
+        self.model = model
+        self.save_dir = get_save_dir(self.args)
+        self.wdir = self.save_dir / "weights"
+        self.last, self.best = self.wdir / "last.ckpt", self.wdir / "best.ckpt"
+        self.best_fitness = 0.0
+        self.best_variables = None
+        self.metrics = None
+        self.tloss = None
+        self.epoch = 0
+        self.start_epoch = 0
+        self.epoch_time = None
+        self.callbacks = _callbacks or get_default_callbacks()
+        self.csv = self.save_dir / "results.csv"
+        add_integration_callbacks(self)
+
+    # -- callbacks ------------------------------------------------------------
+    def add_callback(self, event: str, callback):
+        self.callbacks[event].append(callback)
+
+    def run_callbacks(self, event: str):
+        for cb in self.callbacks.get(event, []):
+            cb(self)
+
+    # -- setup ----------------------------------------------------------------
+    def _setup_train(self):
+        args = self.args
+        self._check_resume()
+        self.run_callbacks("on_pretrain_routine_start")
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.wdir.mkdir(parents=True, exist_ok=True)
+
+        # Model.
+        if self.model is None:
+            from yolo_sod_tpu.nn.tasks import DetectionModel
+
+            self.model = DetectionModel(args.model or "yolov12-sod-fusion-v5-simple.yaml")
+        self.data = check_det_dataset(args.data)
+        nc = self.data["nc"]
+        if nc != self.model.nc:
+            from yolo_sod_tpu.nn.tasks import DetectionModel
+
+            LOGGER.info(f"rebuilding model head for nc={nc}")
+            self.model = DetectionModel(self.model.yaml, nc=nc)
+        self.model.names = self.data["names"]
+        if self.model.variables is None:
+            self.model.init(rng=jax.random.PRNGKey(args.seed), imgsz=args.imgsz)
+
+        # Data.
+        stride = int(max(self.model.stride))
+        self.trainset = build_yolo_dataset(vars(args), self.data["train"], args.batch,
+                                           self.data, mode="train", stride=stride,
+                                           seed=args.seed)
+        self.train_loader = build_dataloader(self.trainset, int(args.batch),
+                                             shuffle=True, seed=args.seed)
+        self.nb = len(self.train_loader)  # batches per epoch
+
+        # Optimizer + accumulation (reference trainer.py:301, 759-821).
+        self.accumulate = max(round(args.nbs / args.batch), 1)
+        weight_decay = args.weight_decay * args.batch * self.accumulate / args.nbs
+        iterations = math.ceil(self.nb / self.accumulate) * args.epochs
+        name, lr0, momentum = args.optimizer, args.lr0, args.momentum
+        if name == "auto":
+            if iterations > 10000:
+                name, lr0, momentum = "SGD", 0.01, 0.9
+            else:
+                name, lr0, momentum = "AdamW", round(0.002 * 5 / (4 + nc), 6), 0.9
+            LOGGER.info(f"{colorstr('optimizer:')} auto -> {name}(lr={lr0}, momentum={momentum})")
+        self.lr0, self.momentum, self.opt_name = lr0, momentum, name
+        tx = build_optimizer(self.model.variables["params"], name=name, lr=lr0,
+                             momentum=momentum, weight_decay=weight_decay,
+                             iterations=iterations, nc=nc)
+        if self.accumulate > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate)
+        self.tx = tx
+
+        # LR schedule (reference _setup_scheduler trainer.py:209-215).
+        lrf = args.lrf
+        if args.cos_lr:
+            self.lf = lambda e: max((1 - math.cos(e * math.pi / args.epochs)) / 2, 0) * (lrf - 1) + 1
+        else:
+            self.lf = lambda e: max(1 - e / args.epochs, 0) * (1.0 - lrf) + lrf
+
+        # Mesh: data-parallel over all local devices that divide the batch.
+        n_dev = len(jax.devices())
+        while n_dev > 1 and args.batch % n_dev:
+            n_dev -= 1
+        self.mesh = build_mesh(devices=jax.devices()[:n_dev]) if n_dev > 1 else None
+        if self.mesh is not None:
+            LOGGER.info(f"{colorstr('mesh:')} data-parallel over {n_dev} devices")
+
+        # Criterion + step.
+        self.criterion = DetectionLoss(
+            nc=nc, strides=self.model.graph.detect_strides,
+            box_gain=args.box, cls_gain=args.cls, dfl_gain=args.dfl)
+        self.active_mask = None
+        self._compile_step()
+
+        self.state = init_train_state(self.model, self.tx)
+        if self.mesh is not None:
+            self.state = shard_state(self.state, self.mesh)
+
+        # Validator (reuses val split).
+        self.validator = None
+        if self.args.val and self.data.get("val"):
+            from yolo_sod_tpu.engine.validator import DetectionValidator
+
+            vargs = get_cfg(vars(self.args), {"mode": "val", "conf": 0.001, "iou": 0.7,
+                                             "plots": False, "verbose": False})
+            self.validator = DetectionValidator(args=vargs)
+
+        self.stopper = EarlyStopping(patience=args.patience)
+        self.warmup_iters = max(round(args.warmup_epochs * self.nb), 100) \
+            if args.warmup_epochs > 0 else 0
+
+        self._maybe_resume()
+        self.run_callbacks("on_pretrain_routine_end")
+
+    def _compile_step(self):
+        """(Re)build the jitted train step; called at stage boundaries when the
+        DetectStable active mask changes (one retrace per stage, not per step)."""
+        self.train_step = make_train_step(
+            self.model, self.criterion, self.tx, mesh=self.mesh,
+            accumulate=self.accumulate,
+            compute_dtype=jnp.bfloat16 if self.args.amp else jnp.float32,
+            active_mask=self.active_mask)
+
+    def set_active_mask(self, mask):
+        """P2-curriculum gate (reference DetectStable.set_active_mask)."""
+        if tuple(mask) != (tuple(self.active_mask) if self.active_mask else None):
+            self.active_mask = tuple(mask)
+            self._compile_step()
+
+    # -- resume ---------------------------------------------------------------
+    def _check_resume(self):
+        """Pre-setup: reload the original run's train args from the checkpoint
+        (reference check_resume, trainer.py:692-722) so the optimizer/loader
+        rebuild identically; run-identity keys keep their new values."""
+        self._resume_ckpt = None
+        resume = self.args.resume
+        if not resume:
+            return
+        path = self.last if resume in (True, "True", "true") else Path(resume)
+        if not path.exists():
+            LOGGER.warning(f"resume checkpoint not found: {path}")
+            return
+        self._resume_ckpt = load_checkpoint(path)
+        keep = {"resume", "epochs", "data", "project", "name", "exist_ok",
+                "save", "val", "device", "workers", "model", "plots", "mode"}
+        for k, v in (self._resume_ckpt.get("train_args") or {}).items():
+            if k not in keep and hasattr(self.args, k):
+                setattr(self.args, k, v)
+
+    def _maybe_resume(self):
+        ckpt = self._resume_ckpt
+        if ckpt is None:
+            return
+        self.state = TrainState(
+            params=ckpt["variables"]["params"],
+            batch_stats=ckpt["variables"].get("batch_stats", {}),
+            opt_state=serialization.from_state_dict(self.state.opt_state, ckpt["opt_state"])
+            if ckpt.get("opt_state") else self.state.opt_state,
+            ema_params=(ckpt.get("ema") or {}).get("params", ckpt["variables"]["params"]),
+            step=jnp.asarray(ckpt.get("step", 0), jnp.int32),
+        )
+        if self.mesh is not None:
+            self.state = shard_state(self.state, self.mesh)
+        self.start_epoch = ckpt.get("epoch", -1) + 1
+        self.best_fitness = ckpt.get("best_fitness", 0.0)
+        LOGGER.info(f"resumed at epoch {self.start_epoch} "
+                    f"(best_fitness={self.best_fitness:.5f})")
+
+    # -- loop -----------------------------------------------------------------
+    def train(self):
+        self._setup_train()
+        args = self.args
+        LOGGER.info(f"{colorstr('train:')} {args.epochs} epochs, batch {args.batch}, "
+                    f"imgsz {args.imgsz}, accumulate x{self.accumulate}, "
+                    f"{self.nb} batches/epoch")
+        self.run_callbacks("on_train_start")
+        t_train = time.time()
+        epoch = self.start_epoch
+        for epoch in range(self.start_epoch, args.epochs):
+            self.epoch = epoch
+            self.run_callbacks("on_train_epoch_start")
+            if epoch == args.epochs - args.close_mosaic:
+                self.trainset.close_mosaic()
+                self.train_loader.reset()
+
+            self.tloss = None
+            pbar = TQDM(enumerate(self.train_loader), total=self.nb,
+                        desc=f"epoch {epoch + 1}/{args.epochs}")
+            for i, batch in pbar:
+                self.run_callbacks("on_train_batch_start")
+                ni = i + self.nb * epoch
+                self._warmup(ni, epoch)
+                dev_batch = {k: batch[k] for k in ("img", "cls", "bboxes", "mask_gt")}
+                if self.mesh is not None:
+                    dev_batch = shard_batch(dev_batch, self.mesh)
+                self.state, out = self.train_step(self.state, dev_batch)
+                items = np.asarray(jax.device_get(out["items"]))
+                self.tloss = items if self.tloss is None else \
+                    (self.tloss * i + items) / (i + 1)
+                if hasattr(pbar, "set_postfix_str"):
+                    pbar.set_postfix_str(
+                        f"box {self.tloss[0]:.3f} cls {self.tloss[1]:.3f} dfl {self.tloss[2]:.3f}")
+                self.run_callbacks("on_train_batch_end")
+            self.run_callbacks("on_train_epoch_end")
+
+            # Validation with EMA params (reference trainer.py:432-435).
+            fitness = None
+            final_epoch = epoch + 1 >= args.epochs
+            if self.validator is not None and (args.val or final_epoch):
+                self.metrics = self._validate()
+                fitness = self.metrics.fitness
+                if fitness >= self.best_fitness:
+                    self.best_fitness = fitness
+                    self.best_variables = self._ema_variables()
+            self._write_csv(epoch, fitness)
+            self.run_callbacks("on_fit_epoch_end")
+
+            if args.save:
+                self._save_ckpt(epoch, fitness)
+                self.run_callbacks("on_model_save")
+
+            stop = self.stopper(epoch, fitness)
+            if args.time and (time.time() - t_train) > args.time * 3600:
+                LOGGER.info("time budget reached, stopping")
+                stop = True
+            if stop:
+                break
+        LOGGER.info(f"{epoch - self.start_epoch + 1} epochs in "
+                    f"{(time.time() - t_train) / 3600:.3f} h")
+        if self.best_variables is None:
+            self.best_variables = self._ema_variables()
+        self.run_callbacks("on_train_end")
+        self.run_callbacks("teardown")
+        return self.metrics
+
+    def _warmup(self, ni: int, epoch: int):
+        """Linear warmup then schedule (reference trainer.py:367-376)."""
+        args = self.args
+        if ni < self.warmup_iters:
+            xi = [0, self.warmup_iters]
+            lr = float(np.interp(ni, xi, [0.0, self.lr0 * self.lf(epoch)]))
+            mom = float(np.interp(ni, xi, [args.warmup_momentum, self.momentum]))
+        else:
+            lr = self.lr0 * self.lf(epoch)
+            mom = self.momentum
+        self.lr = lr
+        set_hyperparams(self.state.opt_state, lr, mom)
+
+    def _ema_variables(self):
+        ema = jax.device_get(self.state.ema_params)
+        bs = jax.device_get(self.state.batch_stats)
+        return {"params": ema, "batch_stats": bs} if bs else {"params": ema}
+
+    def _validate(self):
+        self.run_callbacks("on_val_start")
+        metrics = self.validator(model=self.model, variables=self._ema_variables(),
+                                 data=self.data)
+        self.run_callbacks("on_val_end")
+        return metrics
+
+    def label_loss_items(self, items=None, prefix: str = "train"):
+        keys = [f"{prefix}/box_loss", f"{prefix}/cls_loss", f"{prefix}/dfl_loss"]
+        if items is None:
+            return keys
+        return dict(zip(keys, [float(x) for x in items]))
+
+    def _write_csv(self, epoch: int, fitness):
+        header = not self.csv.exists()
+        vals = {"epoch": epoch + 1,
+                **self.label_loss_items(self.tloss),
+                **({k: v for k, v in zip(self.metrics.keys, self.metrics.mean_results())}
+                   if self.metrics else {}),
+                "fitness": fitness if fitness is not None else "",
+                "lr/pg0": self.lr}
+        with open(self.csv, "a") as f:
+            if header:
+                f.write(",".join(vals.keys()) + "\n")
+            f.write(",".join(str(v) for v in vals.values()) + "\n")
+
+    def _save_ckpt(self, epoch: int, fitness):
+        variables = {"params": jax.device_get(self.state.params)}
+        bs = jax.device_get(self.state.batch_stats)
+        if bs:
+            variables["batch_stats"] = bs
+        common = dict(
+            variables=variables,
+            ema_variables=self._ema_variables(),
+            opt_state=jax.device_get(self.state.opt_state),
+            epoch=epoch,
+            best_fitness=self.best_fitness,
+            train_args={k: v for k, v in vars(self.args).items()
+                        if isinstance(v, (int, float, str, bool, type(None)))},
+            names=self.model.names,
+            model_yaml=self.model.yaml,
+            step=int(jax.device_get(self.state.step)),
+        )
+        save_checkpoint(self.last, **common)
+        if fitness is not None and fitness >= self.best_fitness:
+            save_checkpoint(self.best, **common)
+        if self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0:
+            save_checkpoint(self.wdir / f"epoch{epoch + 1}.ckpt", **common)

@@ -1,0 +1,150 @@
+"""Validator: batched on-device inference + host-side mAP.
+
+TPU-native analog of reference engine/validator.py (:107-220) +
+models/yolo/detect/val.py: the forward, decode, and multi-label NMS
+(conf=0.001, iou=0.7) run as ONE jitted graph over the full batch; only the
+(B, max_det, 6) result tensor comes back to the host for the 10-IoU TP
+matching (match_predictions) and DetMetrics. The last partial batch pads to
+the compiled batch size instead of retracing.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+from yolo_sod_tpu.data import build_dataloader, build_yolo_dataset, check_det_dataset
+from yolo_sod_tpu.data.augment import xywhn2xyxy
+from yolo_sod_tpu.ops.nms import non_max_suppression
+from yolo_sod_tpu.utils import LOGGER, colorstr
+from yolo_sod_tpu.utils.metrics import ConfusionMatrix, DetMetrics, box_iou, match_predictions
+
+
+def scale_boxes_np(boxes: np.ndarray, ratio_pad, ori_shape) -> np.ndarray:
+    """Un-letterbox xyxy boxes to original-image pixels (reference ops.py:92)."""
+    r, (dw, dh) = ratio_pad
+    out = boxes.copy()
+    out[:, [0, 2]] = (out[:, [0, 2]] - dw) / r
+    out[:, [1, 3]] = (out[:, [1, 3]] - dh) / r
+    h, w = ori_shape
+    out[:, [0, 2]] = out[:, [0, 2]].clip(0, w)
+    out[:, [1, 3]] = out[:, [1, 3]].clip(0, h)
+    return out
+
+
+class DetectionValidator:
+    """Evaluate a DetectionModel on a dataset; returns DetMetrics."""
+
+    def __init__(self, args=None, dataloader=None, save_dir: Optional[Path] = None):
+        self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
+        self.dataloader = dataloader
+        self.save_dir = Path(save_dir) if save_dir else None
+        self.speed = {"preprocess": 0.0, "inference": 0.0, "loss": 0.0, "postprocess": 0.0}
+        self._jit_fn = None
+
+    def _build_fn(self, model, variables, conf: float, iou: float, max_det: int):
+        @jax.jit
+        def fn(x):
+            preds = model.predict(variables, x.astype(jnp.bfloat16)
+                                  if self.args.half else x)
+            return non_max_suppression(preds, conf_thres=conf, iou_thres=iou,
+                                       multi_label=True, max_det=max_det)
+        return fn
+
+    def __call__(self, model=None, variables=None, data: Optional[dict] = None):
+        args = self.args
+        variables = variables if variables is not None else model.variables
+        if args.half:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                variables)
+
+        if data is None:
+            data = check_det_dataset(args.data)
+        names = data.get("names", getattr(model, "names", {}))
+        nc = data.get("nc", model.nc)
+
+        if self.dataloader is None:
+            dataset = build_yolo_dataset(vars(args) if not isinstance(args, dict) else args,
+                                         data["val"], args.batch, data, mode="val",
+                                         stride=int(max(model.stride)))
+            self.dataloader = build_dataloader(dataset, args.batch, shuffle=False)
+
+        imgsz = args.imgsz
+        conf = args.conf if args.conf not in (None, 0) else 0.001
+        fn = self._build_fn(model, variables, conf, args.iou, args.max_det)
+
+        metrics = DetMetrics(names=names)
+        confusion = ConfusionMatrix(nc=nc, conf=conf)
+        stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        n_images = 0
+        B = self.dataloader.batch_size
+
+        t_inf = t_post = 0.0
+        for batch in self.dataloader:
+            img = batch["img"]
+            nb = img.shape[0]
+            if nb < B:  # pad final partial batch to the compiled shape
+                pad = np.repeat(img[-1:], B - nb, axis=0)
+                img = np.concatenate([img, pad], axis=0)
+            t0 = time.perf_counter()
+            det, n_valid = fn(jnp.asarray(img))
+            det = np.asarray(jax.device_get(det))
+            n_valid = np.asarray(jax.device_get(n_valid))
+            t_inf += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            for bi in range(nb):
+                n_images += 1
+                d = det[bi][: n_valid[bi]]
+                # GT in letterboxed pixels.
+                m = batch["mask_gt"][bi] > 0
+                gt_cls = batch["cls"][bi][m]
+                gt_xywhn = np.concatenate([gt_cls[:, None], batch["bboxes"][bi][m]], axis=1)
+                gt_xyxy = xywhn2xyxy(gt_xywhn, imgsz, imgsz)[:, 1:]
+                stats["target_cls"].append(gt_cls)
+                if len(d) == 0:
+                    if len(gt_cls):
+                        stats["tp"].append(np.zeros((0, 10), bool))
+                        stats["conf"].append(np.zeros(0))
+                        stats["pred_cls"].append(np.zeros(0))
+                        confusion.process_batch(None, gt_xyxy, gt_cls)
+                    continue
+                iou = box_iou(gt_xyxy, d[:, :4])
+                tp = match_predictions(d[:, 5], gt_cls, iou)
+                stats["tp"].append(tp)
+                stats["conf"].append(d[:, 4])
+                stats["pred_cls"].append(d[:, 5])
+                if args.plots:
+                    confusion.process_batch(d, gt_xyxy, gt_cls)
+            t_post += time.perf_counter() - t0
+
+        if stats["tp"]:
+            tp = np.concatenate(stats["tp"], 0)
+            conf_arr = np.concatenate(stats["conf"], 0)
+            pred_cls = np.concatenate(stats["pred_cls"], 0)
+            target_cls = np.concatenate(stats["target_cls"], 0)
+            if len(tp) and len(target_cls):
+                metrics.process(tp, conf_arr, pred_cls, target_cls)
+
+        self.speed["inference"] = t_inf / max(n_images, 1) * 1000
+        self.speed["postprocess"] = t_post / max(n_images, 1) * 1000
+        metrics.speed = self.speed
+
+        mp, mr, map50, map5095 = metrics.mean_results()
+        LOGGER.info(f"{colorstr('val:')} {n_images} images  "
+                    f"P={mp:.3f} R={mr:.3f} mAP50={map50:.4f} mAP50-95={map5095:.4f}  "
+                    f"({self.speed['inference']:.1f}ms inference/img)")
+        if args.verbose and len(metrics.ap_class_index):
+            for i, c in enumerate(metrics.ap_class_index):
+                p, r, ap50, ap = metrics.class_result(i)
+                LOGGER.info(f"  {names.get(int(c), c):<20} P={p:.3f} R={r:.3f} "
+                            f"AP50={ap50:.4f} AP={ap:.4f}")
+        self.confusion_matrix = confusion
+        return metrics

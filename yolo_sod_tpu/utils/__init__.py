@@ -245,3 +245,40 @@ class Profile:
 
     def __str__(self):
         return f"{self.t:.6f}s"
+
+
+def TQDM(iterable, total=None, desc: str = "", **kwargs):
+    """Progress bar (reference utils/__init__.py:122): tqdm when a TTY wants
+    it, else a plain passthrough with a no-op set_postfix_str."""
+    try:
+        from tqdm import tqdm
+
+        return tqdm(iterable, total=total, desc=desc,
+                    bar_format="{l_bar}{bar:10}{r_bar}", **kwargs)
+    except Exception:
+        class _Plain:
+            def __init__(self, it):
+                self.it = it
+
+            def __iter__(self):
+                return iter(self.it)
+
+            def set_postfix_str(self, s):
+                pass
+
+        return _Plain(iterable)
+
+
+def increment_path(path, exist_ok: bool = False, sep: str = "", mkdir: bool = False) -> Path:
+    """runs/exp -> runs/exp2, exp3, ... (reference utils/files.py)."""
+    path = Path(path)
+    if path.exists() and not exist_ok:
+        base, suffix = (path.with_suffix(""), path.suffix) if path.is_file() else (path, "")
+        for n in range(2, 9999):
+            p = Path(f"{base}{sep}{n}{suffix}")
+            if not p.exists():
+                path = p
+                break
+    if mkdir:
+        path.mkdir(parents=True, exist_ok=True)
+    return path

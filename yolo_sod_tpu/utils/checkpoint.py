@@ -29,7 +29,8 @@ def _to_numpy(tree):
 def save_checkpoint(path, model=None, variables=None, ema_variables=None,
                     opt_state=None, epoch: int = -1, best_fitness: float = 0.0,
                     train_args: Optional[dict] = None, metrics: Optional[dict] = None,
-                    names: Optional[dict] = None, model_yaml: Optional[dict] = None):
+                    names: Optional[dict] = None, model_yaml: Optional[dict] = None,
+                    step: int = 0):
     """Write a checkpoint. `model` is a DetectionModel (yields yaml + variables)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -40,6 +41,7 @@ def save_checkpoint(path, model=None, variables=None, ema_variables=None,
 
     meta = {
         "epoch": epoch,
+        "step": int(step),
         "best_fitness": float(best_fitness),
         "train_args": _jsonable(train_args or {}),
         "metrics": _jsonable(metrics or {}),
