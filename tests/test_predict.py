@@ -1,0 +1,63 @@
+"""Predictor + Results tests: facade predict over arrays, files, dirs."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+TMP = Path(__file__).parent / "tmp"
+
+
+@pytest.fixture(scope="module")
+def model():
+    from yolo_sod_tpu import YOLO
+
+    m = YOLO("yolov12n.yaml")
+    m.model.init(imgsz=64)
+    return m
+
+
+def test_predict_array(model):
+    img = (np.random.rand(48, 64, 3) * 255).astype(np.uint8)
+    results = model.predict(img, imgsz=64, conf=0.01, verbose=False)
+    assert len(results) == 1
+    r = results[0]
+    assert r.orig_shape == (48, 64)
+    assert r.boxes.data.shape[1] == 6
+    # Boxes live in original-image pixel coords.
+    if len(r.boxes):
+        assert r.boxes.xyxy[:, 2].max() <= 64 + 1e-3
+        assert r.boxes.xyxy[:, 3].max() <= 48 + 1e-3
+
+
+def test_predict_files_and_dir(model):
+    import cv2
+
+    d = TMP / "imgs"
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(3):
+        cv2.imwrite(str(d / f"{i}.jpg"),
+                    (np.random.rand(40, 64, 3) * 255).astype(np.uint8))
+    results = model.predict(str(d), imgsz=64, conf=0.01, verbose=False)
+    assert len(results) == 3
+    results = model.predict([str(d / "0.jpg"), str(d / "1.jpg")],
+                            imgsz=64, conf=0.01, verbose=False)
+    assert len(results) == 2
+    # stream mode yields a generator
+    gen = model.predict(str(d / "0.jpg"), stream=True, imgsz=64, verbose=False)
+    assert len(list(gen)) == 1
+
+
+def test_results_api(model):
+    img = (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+    r = model.predict(img, imgsz=64, conf=0.0001, verbose=False)[0]
+    plotted = r.plot()
+    assert plotted.shape == img.shape
+    txt = TMP / "out.txt"
+    if txt.exists():
+        txt.unlink()
+    r.save_txt(txt, save_conf=True)
+    j = r.summary()
+    assert isinstance(j, list)
+    assert r.verbose()
+    assert r.boxes.cpu() is r.boxes

@@ -1,0 +1,168 @@
+"""Predictor: source loading → jitted letterbox+forward+decode+NMS → Results.
+
+TPU-native analog of reference engine/predictor.py (preprocess :116-134,
+pre_transform LetterBox :145-161, stream_inference :219-304) +
+models/yolo/detect/predict.py postprocess. The reference's device boundary —
+host letterbox, device forward, host NMS via torchvision — collapses into ONE
+jitted graph: uint8 image in, (max_det, 6) boxes out. Batch shapes compile
+per (batch, imgsz) bucket; a thread lock makes concurrent predict safe
+(reference predictor.py:113,229).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+from yolo_sod_tpu.data.augment import letterbox_np
+from yolo_sod_tpu.data.utils import IMG_FORMATS
+from yolo_sod_tpu.engine.results import Results
+from yolo_sod_tpu.engine.validator import scale_boxes_np
+from yolo_sod_tpu.ops.nms import non_max_suppression
+from yolo_sod_tpu.utils import LOGGER
+
+VID_FORMATS = {"asf", "avi", "gif", "m4v", "mkv", "mov", "mp4", "mpeg", "mpg", "ts", "webm", "wmv"}
+
+
+def load_source(source, vid_stride: int = 1):
+    """Yield (path, BGR image) pairs from array / path / dir / list / video.
+
+    Contract of the absent ultralytics.data.build.load_inference_source.
+    """
+    import cv2
+
+    if isinstance(source, np.ndarray):
+        yield "array", source
+        return
+    if isinstance(source, (list, tuple)):
+        for s in source:
+            yield from load_source(s, vid_stride)
+        return
+    p = Path(str(source))
+    if p.is_dir():
+        for f in sorted(p.rglob("*")):
+            if f.suffix.lower().lstrip(".") in IMG_FORMATS:
+                im = cv2.imread(str(f))
+                if im is not None:
+                    yield str(f), im
+        return
+    suffix = p.suffix.lower().lstrip(".")
+    if suffix in VID_FORMATS:
+        cap = cv2.VideoCapture(str(p))
+        n = 0
+        while cap.isOpened():
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if n % vid_stride == 0:
+                yield f"{p}#frame{n}", frame
+            n += 1
+        cap.release()
+        return
+    im = cv2.imread(str(p))
+    if im is None:
+        raise FileNotFoundError(f"cannot read source: {source}")
+    yield str(p), im
+
+
+class DetectionPredictor:
+    """Batched detection inference engine."""
+
+    def __init__(self, overrides: Optional[dict] = None):
+        self.args = get_cfg(DEFAULT_CFG_DICT, overrides or {})
+        if self.args.conf is None:
+            self.args.conf = 0.25
+        self.model = None
+        self._fns: dict = {}        # (batch, imgsz) -> jitted pipeline
+        self._variables = None
+        self._lock = threading.Lock()
+        self.callbacks = {}
+
+    def setup_model(self, model):
+        self.model = model
+        if model.variables is None:
+            model.init(imgsz=int(self.args.imgsz or 640))
+        variables = model.variables
+        if self.args.half:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                variables)
+        self._variables = variables
+
+    def _pipeline(self, batch: int, imgsz: int):
+        """Build/cache the jitted fused pipeline for a shape bucket."""
+        key = (batch, imgsz)
+        if key not in self._fns:
+            model, variables, args = self.model, self._variables, self.args
+
+            @jax.jit
+            def fn(x):
+                x = x.astype(jnp.bfloat16 if args.half else jnp.float32)
+                preds = model.predict(variables, x)
+                return non_max_suppression(
+                    preds, conf_thres=args.conf, iou_thres=args.iou,
+                    agnostic=args.agnostic_nms, max_det=args.max_det,
+                    classes=args.classes)
+            self._fns[key] = fn
+        return self._fns[key]
+
+    def __call__(self, source=None, stream: bool = False):
+        gen = self.stream_inference(source)
+        return gen if stream else list(gen)
+
+    def stream_inference(self, source):
+        """Generator over Results (reference stream_inference :219-304)."""
+        args = self.args
+        imgsz = int(args.imgsz or 640)
+        batch_size = max(int(getattr(args, "batch", 1) or 1), 1)
+
+        with self._lock:
+            buf_imgs, buf_meta = [], []
+            for path, im0 in load_source(source, vid_stride=args.vid_stride or 1):
+                t0 = time.perf_counter()
+                im, r, (dw, dh) = letterbox_np(im0, (imgsz, imgsz), scaleup=False)
+                x = im[..., ::-1].astype(np.float32) / 255.0       # BGR->RGB NHWC
+                t_pre = time.perf_counter() - t0
+                buf_imgs.append(x)
+                buf_meta.append((path, im0, (r, (dw, dh)), t_pre))
+                if len(buf_imgs) == batch_size:
+                    yield from self._flush(buf_imgs, buf_meta, batch_size)
+                    buf_imgs, buf_meta = [], []
+            if buf_imgs:
+                yield from self._flush(buf_imgs, buf_meta, batch_size)
+
+    def _flush(self, imgs, meta, batch_size):
+        nb = len(imgs)
+        x = np.stack(imgs)
+        if nb < batch_size:   # pad to the compiled bucket
+            x = np.concatenate([x, np.repeat(x[-1:], batch_size - nb, 0)], 0)
+        fn = self._pipeline(batch_size, x.shape[1])
+        t0 = time.perf_counter()
+        det, n_valid = fn(jnp.asarray(x))
+        det = np.asarray(jax.device_get(det))
+        n_valid = np.asarray(jax.device_get(n_valid))
+        t_inf = (time.perf_counter() - t0) / nb
+
+        names = self.model.names
+        for i in range(nb):
+            path, im0, ratio_pad, t_pre = meta[i]
+            t0 = time.perf_counter()
+            d = det[i][: n_valid[i]].copy()
+            d[:, :4] = scale_boxes_np(d[:, :4], ratio_pad, im0.shape[:2])
+            t_post = time.perf_counter() - t0
+            res = Results(im0, path, names, boxes=d,
+                          speed={"preprocess": t_pre * 1e3, "inference": t_inf * 1e3,
+                                 "postprocess": t_post * 1e3})
+            for cb in self.callbacks.get("on_predict_postprocess_end", []):
+                cb(self, res)
+            if self.args.verbose:
+                LOGGER.info(f"{path}: {res.verbose()} "
+                            f"({t_inf * 1e3:.1f}ms inference)")
+            yield res
