@@ -1,0 +1,116 @@
+"""Unit tests for MAFN modules: SSM scan, BRA routing, RAFB, model builds.
+
+The reference has NO tests for its custom modules (SURVEY.md §4) — this file
+closes that gap.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_selective_scan_matches_sequential():
+    """Associative-scan SSM == step-by-step recurrence."""
+    from yolo_sod_tpu.nn.modules.ssm import selective_scan
+
+    rng = np.random.default_rng(0)
+    b, L, d, n = 2, 9, 4, 3
+    u = jnp.asarray(rng.standard_normal((b, L, d)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.01, 0.3, (b, L, d)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (d, n)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+    D = jnp.asarray(rng.standard_normal(d), jnp.float32)
+
+    y = selective_scan(u, dt, A, B, C, D)
+
+    # Sequential reference.
+    h = np.zeros((b, d, n))
+    ys = []
+    for t in range(L):
+        g = np.exp(np.asarray(dt[:, t, :, None]) * np.asarray(A)[None])
+        f = np.asarray((dt[:, t] * u[:, t]))[:, :, None] * np.asarray(B[:, t])[:, None, :]
+        h = g * h + f
+        ys.append((h * np.asarray(C[:, t])[:, None, :]).sum(-1)
+                  + np.asarray(u[:, t]) * np.asarray(D))
+    y_ref = np.stack(ys, axis=1)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_mamba_block_shapes_and_residual():
+    from yolo_sod_tpu.nn.modules.ssm import MambaBlock
+
+    m = MambaBlock(32, c_hidden=64, seq_reduction=2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 12, 32)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_bra_matches_dense_when_topk_covers_all_regions():
+    """With topk >= #regions, BRA must equal full window-to-all attention."""
+    from yolo_sod_tpu.nn.modules.fusion import BiLevelRoutingAttention
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 8, 8, 16)), jnp.float32)
+    m = BiLevelRoutingAttention(16, num_heads=2, window_size=4, topk=16)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_bra_pads_non_multiple_shapes():
+    from yolo_sod_tpu.nn.modules.fusion import BiLevelRoutingAttention
+
+    x = jnp.zeros((1, 10, 14, 16))
+    m = BiLevelRoutingAttention(16, num_heads=2, window_size=8, topk=2)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == x.shape
+
+
+def test_rafb_forward():
+    from yolo_sod_tpu.nn.modules.fusion import RecurrentAttentionFusionBlock
+
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 8, 8, 24)), jnp.float32)
+    m = RecurrentAttentionFusionBlock(24, 32, gru_hidden_dim=16, n_heads=4)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 8, 8, 32)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_sageattention2():
+    from yolo_sod_tpu.nn.modules.fusion import SageAttention2
+
+    x = jnp.ones((1, 6, 6, 16))
+    m = SageAttention2(16)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == x.shape
+
+
+@pytest.mark.parametrize("cfg,n_scales", [
+    ("yolov12-sod-fusion-v5.yaml", 4),
+    ("yolov12-sod-fusion-v5-stable.yaml", 4),
+    ("E1.yaml", 3),
+    ("E2.yaml", 4),
+    ("E3.yaml", 4),
+    ("E4.yaml", 4),
+    ("E5.yaml", 4),
+    ("E6.yaml", 4),
+])
+def test_all_model_yamls_build_and_run(cfg, n_scales):
+    from yolo_sod_tpu.nn.tasks import DetectionModel
+
+    m = DetectionModel(cfg)
+    m.init(imgsz=64)
+    x = jnp.zeros((1, 64, 64, 3))
+    feats = m.apply(m.variables, x, train=False)
+    assert len(feats) == n_scales
+    assert len(m.stride) == n_scales
+    if n_scales == 4:
+        assert list(m.stride) == [4, 8, 16, 32]
+    else:
+        assert list(m.stride) == [8, 16, 32]

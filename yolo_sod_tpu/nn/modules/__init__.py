@@ -48,7 +48,15 @@ from yolo_sod_tpu.nn.modules.conv import (
     Upsample,
     autopad,
 )
+from yolo_sod_tpu.nn.modules.fusion import (
+    BiLevelRoutingAttention,
+    BiLevelRoutingAttentionFusionBlock,
+    ConvGRUCell,
+    RecurrentAttentionFusionBlock,
+    SageAttention2,
+)
 from yolo_sod_tpu.nn.modules.head import Detect, DetectStable
+from yolo_sod_tpu.nn.modules.ssm import MambaBlock, SSMCore, selective_scan
 
 MODULE_REGISTRY = {
     "Conv": ConvBNAct,
@@ -82,6 +90,11 @@ MODULE_REGISTRY = {
     "OmniKernelFusion": OmniKernelFusion,
     "HyperACEBlock": HyperACEBlock,
     "GLUBlock": GLUBlock,
+    "MambaBlock": MambaBlock,
+    "SageAttention2": SageAttention2,
+    "BiLevelRoutingAttention": BiLevelRoutingAttention,
+    "BiLevelRoutingAttentionFusionBlock": BiLevelRoutingAttentionFusionBlock,
+    "RecurrentAttentionFusionBlock": RecurrentAttentionFusionBlock,
     "Detect": Detect,
     "DetectStable": DetectStable,
 }

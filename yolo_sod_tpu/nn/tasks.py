@@ -39,7 +39,8 @@ _BASE_CH = {"Conv", "ConvTranspose", "GhostConv", "Bottleneck", "SPP", "SPPF", "
 _REPEAT_INSERT = {"BottleneckCSP", "C1", "C2", "C2f", "C3k2", "C3", "C3x", "RepC3",
                   "C2fPSA", "C2PSA", "A2C2f"}
 _ATTN_PASSTHROUGH = {"SE", "MixedAttention", "MambaBlock", "SwinBlock", "SE_Block",
-                     "CA_Block", "A2_Attn", "CBAM_Block"}
+                     "CA_Block", "A2_Attn", "CBAM_Block", "SageAttention2",
+                     "BiLevelRoutingAttention"}
 _HEADS = {"Detect", "DetectStable", "Segment", "Pose", "OBB", "v10Detect", "DETRAuxHead"}
 _MULTI_INPUT = {"Concat", "Add", "ScaleAdd", "HyperACEBlock"} | _HEADS
 # Spatial effect of a module on the cumulative downsample factor.
@@ -188,7 +189,8 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
             c2 = int(args[2])
         elif name in _ATTN_PASSTHROUGH:
             c2 = c1
-            if name in ("MambaBlock", "SwinBlock", "CA_Block", "CBAM_Block", "MixedAttention"):
+            if name in ("MambaBlock", "SwinBlock", "CA_Block", "CBAM_Block", "MixedAttention",
+                        "SageAttention2", "BiLevelRoutingAttention"):
                 args = [c1, *args]
             elif name == "A2_Attn":
                 args = [c1, None, *args]
