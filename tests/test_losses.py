@@ -1,0 +1,104 @@
+"""Unit tests for the SOD loss library + staged-training callbacks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_nwd_loss_zero_for_identical_boxes():
+    from yolo_sod_tpu.utils.losses import nwd_loss
+
+    b = jnp.array([[10.0, 10.0, 4.0, 4.0], [5.0, 5.0, 1.0, 2.0]])
+    l = nwd_loss(b, b)
+    assert np.allclose(np.asarray(l), 0.0, atol=1e-3)
+    # farther boxes -> larger loss
+    b2 = b.at[:, 0].add(10.0)
+    assert (np.asarray(nwd_loss(b, b2)) > np.asarray(l)).all()
+
+
+def test_interpiou_bounds_and_identity():
+    from yolo_sod_tpu.utils.losses import interpiou_iou_xyxy, interpiou_loss_xyxy
+
+    a = jnp.array([[0.0, 0.0, 10.0, 10.0]])
+    assert np.allclose(np.asarray(interpiou_iou_xyxy(a, a)), 1.0, atol=1e-5)
+    b = jnp.array([[20.0, 20.0, 30.0, 30.0]])
+    v = float(interpiou_iou_xyxy(a, b)[0])
+    assert 0.0 < v < 1.0  # interpolated boxes overlap gt partway
+    assert float(interpiou_loss_xyxy(a, b)) > 0
+
+
+def test_shape_iou_and_focal():
+    from yolo_sod_tpu.utils.losses import focal_loss, shape_iou_loss
+
+    p = jnp.array([[5.0, 5.0, 4.0, 4.0]])
+    assert float(shape_iou_loss(p, p)) < 1e-5
+    logits = jnp.array([[3.0, -3.0]])
+    target = jnp.array([[1.0, 0.0]])
+    good = float(focal_loss(logits, target))
+    bad = float(focal_loss(-logits, target))
+    assert good < bad
+
+
+def test_boundary_loss():
+    from yolo_sod_tpu.utils.losses import BoundaryAwareLoss
+
+    gt = jnp.zeros((1, 16, 16, 1)).at[:, 4:12, 4:12].set(1.0)
+    loss = BoundaryAwareLoss()
+    perfect = float(loss(jnp.where(gt > 0, 10.0, -10.0), gt))
+    wrong = float(loss(jnp.where(gt > 0, -10.0, 10.0), gt))
+    assert perfect < 0.01 < wrong
+
+
+def test_rfla_assigner_shapes_and_rescue():
+    from yolo_sod_tpu.ops.boxes import make_anchors
+    from yolo_sod_tpu.utils.losses import RFLATaskAlignedAssigner
+
+    hw = [(8, 8), (4, 4)]
+    strides = (8, 16)
+    anchor_points, stride_t = make_anchors(hw, strides)
+    anc = anchor_points * stride_t
+    A = anc.shape[0]
+    B, M, nc = 2, 3, 4
+    rng = np.random.default_rng(0)
+    assigner = RFLATaskAlignedAssigner(topk=5, num_classes=nc,
+                                       strides=strides, hw_list=hw)
+    pd_scores = jnp.asarray(rng.uniform(0, 1, (B, A, nc)), jnp.float32)
+    pd_bboxes = jnp.asarray(rng.uniform(0, 64, (B, A, 4)), jnp.float32)
+    gt = jnp.array([[[10, 10, 20, 20], [30, 30, 50, 50], [0, 0, 0, 0]],
+                    [[5, 5, 9, 9], [0, 0, 0, 0], [0, 0, 0, 0]]], jnp.float32)
+    gt_labels = jnp.zeros((B, M, 1))
+    mask_gt = jnp.array([[[1.0], [1.0], [0.0]], [[1.0], [0.0], [0.0]]])
+
+    tl, tb, ts, fg, tgi = assigner(pd_scores, pd_bboxes, anc, gt_labels, gt, mask_gt)
+    assert tl.shape == (B, A) and tb.shape == (B, A, 4)
+    assert ts.shape == (B, A, nc) and fg.shape == (B, A)
+    # every valid GT gets at least one positive anchor (stage-2 rescue)
+    fg_np = np.asarray(fg)
+    tgi_np = np.asarray(tgi)
+    assert {0, 1} <= set(tgi_np[0][fg_np[0]].tolist())
+    assert 0 in tgi_np[1][fg_np[1]].tolist()
+
+
+def test_staged_config_and_callbacks():
+    from yolo_sod_tpu.engine.staged import (
+        create_hcp_400_config, create_p2_toggle_callback,
+        create_staged_training_callback)
+
+    stages = create_hcp_400_config()
+    assert set(stages) == {"stage1", "stage2", "stage3", "stage4"}
+    assert stages["stage4"]["mosaic"] == 0.0
+
+    class FakeArgs:
+        lr0 = 0.002
+        mosaic = 1.0
+
+    class FakeTrainer:
+        args = FakeArgs()
+        epoch = 150
+        lr0 = 0.002
+
+    cb = create_staged_training_callback(stages)
+    t = FakeTrainer()
+    cb(t)
+    assert t.lr0 == 0.0006
+    assert t.args.mosaic == 0.8
