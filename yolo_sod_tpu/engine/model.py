@@ -101,13 +101,20 @@ class Model:
         args = {**self.overrides, "mode": "export", **kwargs}
         return Exporter(args=get_cfg(DEFAULT_CFG_DICT, args))(model=self.model)
 
-    def track(self, source=None, **kwargs):
-        """Predict + multi-object tracking."""
+    def track(self, source=None, persist: bool = False, **kwargs):
+        """Predict + multi-object tracking (reference model.py:562)."""
+        from yolo_sod_tpu.engine.predictor import DetectionPredictor
         from yolo_sod_tpu.trackers.track import register_tracker
 
-        register_tracker(self)
         kwargs.setdefault("conf", 0.1)
         kwargs["mode"] = "track"
+        if self.predictor is None:
+            args = {**self.overrides, **kwargs}
+            self.predictor = DetectionPredictor(overrides=args)
+            self.predictor.setup_model(self.model)
+        if not getattr(self.predictor, "_tracker_registered", False):
+            register_tracker(self, persist=persist)
+            self.predictor._tracker_registered = True
         return self.predict(source, **kwargs)
 
     def benchmark(self, **kwargs):

@@ -1,0 +1,303 @@
+"""BYTETracker: two-stage high/low-confidence association
+(reference trackers/byte_tracker.py — STrack :12, BYTETracker :235).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from yolo_sod_tpu.trackers.basetrack import BaseTrack, TrackState
+from yolo_sod_tpu.trackers.utils import matching
+from yolo_sod_tpu.trackers.utils.kalman_filter import KalmanFilterXYAH
+
+
+class STrack(BaseTrack):
+    """Single tracklet with an XYAH Kalman state."""
+
+    shared_kalman = KalmanFilterXYAH()
+
+    def __init__(self, xywh, score, cls):
+        super().__init__()
+        # xywh: (x_center, y_center, w, h[, idx])
+        self._tlwh = np.asarray(
+            [xywh[0] - xywh[2] / 2, xywh[1] - xywh[3] / 2, xywh[2], xywh[3]],
+            np.float32)
+        self.kalman_filter = None
+        self.mean, self.covariance = None, None
+        self.is_activated = False
+        self.score = score
+        self.tracklet_len = 0
+        self.cls = cls
+        self.idx = xywh[-1] if len(xywh) > 4 else -1
+        self.angle = None
+
+    def predict(self):
+        mean_state = self.mean.copy()
+        if self.state != TrackState.Tracked:
+            mean_state[7] = 0
+        self.mean, self.covariance = self.kalman_filter.predict(mean_state, self.covariance)
+
+    @staticmethod
+    def multi_predict(stracks):
+        if len(stracks) == 0:
+            return
+        multi_mean = np.asarray([st.mean.copy() for st in stracks])
+        multi_cov = np.asarray([st.covariance for st in stracks])
+        for i, st in enumerate(stracks):
+            if st.state != TrackState.Tracked:
+                multi_mean[i][7] = 0
+        multi_mean, multi_cov = STrack.shared_kalman.multi_predict(multi_mean, multi_cov)
+        for i, (mean, cov) in enumerate(zip(multi_mean, multi_cov)):
+            stracks[i].mean = mean
+            stracks[i].covariance = cov
+
+    @staticmethod
+    def multi_gmc(stracks, H=np.eye(2, 3)):
+        """Warp every track's Kalman state by a camera-motion affine H."""
+        if len(stracks) == 0:
+            return
+        R = H[:2, :2]
+        R8 = np.kron(np.eye(4), R)
+        t = H[:2, 2]
+        for st in stracks:
+            mean = R8 @ st.mean
+            mean[:2] += t
+            st.mean = mean
+            st.covariance = R8 @ st.covariance @ R8.T
+
+    def activate(self, kalman_filter, frame_id):
+        self.kalman_filter = kalman_filter
+        self.track_id = self.next_id()
+        self.mean, self.covariance = self.kalman_filter.initiate(self.convert_coords(self._tlwh))
+        self.tracklet_len = 0
+        self.state = TrackState.Tracked
+        self.is_activated = frame_id == 1
+        self.frame_id = frame_id
+        self.start_frame = frame_id
+
+    def re_activate(self, new_track, frame_id, new_id: bool = False):
+        self.mean, self.covariance = self.kalman_filter.update(
+            self.mean, self.covariance, self.convert_coords(new_track.tlwh))
+        self.tracklet_len = 0
+        self.state = TrackState.Tracked
+        self.is_activated = True
+        self.frame_id = frame_id
+        if new_id:
+            self.track_id = self.next_id()
+        self.score = new_track.score
+        self.cls = new_track.cls
+        self.idx = new_track.idx
+
+    def update(self, new_track, frame_id):
+        self.frame_id = frame_id
+        self.tracklet_len += 1
+        self.mean, self.covariance = self.kalman_filter.update(
+            self.mean, self.covariance, self.convert_coords(new_track.tlwh))
+        self.state = TrackState.Tracked
+        self.is_activated = True
+        self.score = new_track.score
+        self.cls = new_track.cls
+        self.idx = new_track.idx
+
+    def convert_coords(self, tlwh):
+        return self.tlwh_to_xyah(tlwh)
+
+    @property
+    def tlwh(self):
+        if self.mean is None:
+            return self._tlwh.copy()
+        ret = self.mean[:4].copy()
+        ret[2] *= ret[3]           # a*h -> w
+        ret[:2] -= ret[2:] / 2
+        return ret
+
+    @property
+    def xyxy(self):
+        ret = self.tlwh.copy()
+        ret[2:] += ret[:2]
+        return ret
+
+    @property
+    def xywh(self):
+        ret = self.tlwh.copy()
+        ret[:2] += ret[2:] / 2
+        return ret
+
+    @staticmethod
+    def tlwh_to_xyah(tlwh):
+        ret = np.asarray(tlwh, np.float32).copy()
+        ret[:2] += ret[2:] / 2
+        ret[2] /= ret[3]
+        return ret
+
+    @property
+    def result(self):
+        """[x1, y1, x2, y2, track_id, score, cls, det_idx]."""
+        return self.xyxy.tolist() + [self.track_id, self.score, self.cls, self.idx]
+
+    def __repr__(self):
+        return f"OT_{self.track_id}_({self.start_frame}-{self.end_frame})"
+
+
+class BYTETracker:
+    """Two-stage tracker over per-frame detections (reference :235-476)."""
+
+    def __init__(self, args, frame_rate: int = 30):
+        self.tracked_stracks: list[STrack] = []
+        self.lost_stracks: list[STrack] = []
+        self.removed_stracks: list[STrack] = []
+        self.frame_id = 0
+        self.args = args
+        self.max_time_lost = int(frame_rate / 30.0 * args.track_buffer)
+        self.kalman_filter = self.get_kalmanfilter()
+        BaseTrack.reset_id()
+
+    def get_kalmanfilter(self):
+        return KalmanFilterXYAH()
+
+    def init_track(self, dets, scores, cls, img=None):
+        return [STrack(xyxy, s, c) for xyxy, s, c in zip(dets, scores, cls)] if len(dets) else []
+
+    def get_dists(self, tracks, detections):
+        dists = matching.iou_distance(tracks, detections)
+        if self.args.fuse_score:
+            dists = matching.fuse_score(dists, detections)
+        return dists
+
+    def multi_predict(self, tracks):
+        STrack.multi_predict(tracks)
+
+    def update(self, results, img=None):
+        """results: dict/obj with .conf, .xywh, .cls arrays for one frame.
+
+        Returns (n, 8) [x1, y1, x2, y2, id, conf, cls, det_idx].
+        """
+        self.frame_id += 1
+        activated, refind, lost, removed = [], [], [], []
+
+        scores = np.asarray(results.conf)
+        bboxes = np.asarray(results.xywh)
+        bboxes = np.concatenate([bboxes, np.arange(len(bboxes)).reshape(-1, 1)], axis=-1)
+        cls = np.asarray(results.cls)
+
+        remain_inds = scores >= self.args.track_high_thresh
+        inds_low = (scores > self.args.track_low_thresh) & (scores < self.args.track_high_thresh)
+
+        detections = self.init_track(bboxes[remain_inds], scores[remain_inds],
+                                     cls[remain_inds], img)
+        unconfirmed = [t for t in self.tracked_stracks if not t.is_activated]
+        tracked = [t for t in self.tracked_stracks if t.is_activated]
+        strack_pool = joint_stracks(tracked, self.lost_stracks)
+
+        # Stage 1: high-confidence association.
+        self.multi_predict(strack_pool)
+        if hasattr(self, "gmc") and img is not None:
+            warp = self.gmc.apply(img, bboxes[remain_inds])
+            STrack.multi_gmc(strack_pool, warp)
+            STrack.multi_gmc(unconfirmed, warp)
+        dists = self.get_dists(strack_pool, detections)
+        matches, u_track, u_detection = matching.linear_assignment(
+            dists, thresh=self.args.match_thresh)
+        for itracked, idet in matches:
+            track, det = strack_pool[itracked], detections[idet]
+            if track.state == TrackState.Tracked:
+                track.update(det, self.frame_id)
+                activated.append(track)
+            else:
+                track.re_activate(det, self.frame_id, new_id=False)
+                refind.append(track)
+
+        # Stage 2: low-confidence rescue association (the "BYTE" trick).
+        detections_second = self.init_track(bboxes[inds_low], scores[inds_low],
+                                            cls[inds_low], img)
+        r_tracked = [strack_pool[i] for i in u_track
+                     if strack_pool[i].state == TrackState.Tracked]
+        dists = matching.iou_distance(r_tracked, detections_second)
+        matches, u_track, _ = matching.linear_assignment(dists, thresh=0.5)
+        for itracked, idet in matches:
+            track, det = r_tracked[itracked], detections_second[idet]
+            if track.state == TrackState.Tracked:
+                track.update(det, self.frame_id)
+                activated.append(track)
+            else:
+                track.re_activate(det, self.frame_id, new_id=False)
+                refind.append(track)
+        for it in u_track:
+            track = r_tracked[it]
+            if track.state != TrackState.Lost:
+                track.mark_lost()
+                lost.append(track)
+
+        # Unconfirmed tracks vs leftover high-conf detections.
+        detections = [detections[i] for i in u_detection]
+        dists = self.get_dists(unconfirmed, detections)
+        matches, u_unconfirmed, u_detection = matching.linear_assignment(dists, thresh=0.7)
+        for itracked, idet in matches:
+            unconfirmed[itracked].update(detections[idet], self.frame_id)
+            activated.append(unconfirmed[itracked])
+        for it in u_unconfirmed:
+            track = unconfirmed[it]
+            track.mark_removed()
+            removed.append(track)
+
+        # New tracks from remaining detections.
+        for inew in u_detection:
+            track = detections[inew]
+            if track.score >= self.args.new_track_thresh:
+                track.activate(self.kalman_filter, self.frame_id)
+                activated.append(track)
+
+        # Expire lost tracks.
+        for track in self.lost_stracks:
+            if self.frame_id - track.end_frame > self.max_time_lost:
+                track.mark_removed()
+                removed.append(track)
+
+        self.tracked_stracks = [t for t in self.tracked_stracks if t.state == TrackState.Tracked]
+        self.tracked_stracks = joint_stracks(self.tracked_stracks, activated)
+        self.tracked_stracks = joint_stracks(self.tracked_stracks, refind)
+        self.lost_stracks = sub_stracks(self.lost_stracks, self.tracked_stracks)
+        self.lost_stracks.extend(lost)
+        self.lost_stracks = sub_stracks(self.lost_stracks, self.removed_stracks)
+        self.tracked_stracks, self.lost_stracks = remove_duplicate_stracks(
+            self.tracked_stracks, self.lost_stracks)
+        self.removed_stracks.extend(removed)
+        if len(self.removed_stracks) > 1000:
+            self.removed_stracks = self.removed_stracks[-999:]
+
+        return np.asarray([t.result for t in self.tracked_stracks if t.is_activated],
+                          dtype=np.float32)
+
+    def reset(self):
+        self.tracked_stracks = []
+        self.lost_stracks = []
+        self.removed_stracks = []
+        self.frame_id = 0
+        self.kalman_filter = self.get_kalmanfilter()
+        BaseTrack.reset_id()
+
+
+def joint_stracks(tlista, tlistb):
+    exists = {t.track_id for t in tlista}
+    return tlista + [t for t in tlistb if t.track_id not in exists]
+
+
+def sub_stracks(tlista, tlistb):
+    ids_b = {t.track_id for t in tlistb}
+    return [t for t in tlista if t.track_id not in ids_b]
+
+
+def remove_duplicate_stracks(stracksa, stracksb):
+    pdist = matching.iou_distance(stracksa, stracksb)
+    pairs = np.where(pdist < 0.15)
+    dupa, dupb = [], []
+    for p, q in zip(*pairs):
+        timep = stracksa[p].frame_id - stracksa[p].start_frame
+        timeq = stracksb[q].frame_id - stracksb[q].start_frame
+        if timep > timeq:
+            dupb.append(q)
+        else:
+            dupa.append(p)
+    resa = [t for i, t in enumerate(stracksa) if i not in dupa]
+    resb = [t for i, t in enumerate(stracksb) if i not in dupb]
+    return resa, resb
