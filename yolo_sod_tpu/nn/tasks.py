@@ -42,7 +42,8 @@ _ATTN_PASSTHROUGH = {"SE", "MixedAttention", "MambaBlock", "SwinBlock", "SE_Bloc
                      "CA_Block", "A2_Attn", "CBAM_Block", "SageAttention2",
                      "BiLevelRoutingAttention"}
 _HEADS = {"Detect", "DetectStable", "Segment", "Pose", "OBB", "v10Detect", "DETRAuxHead"}
-_MULTI_INPUT = {"Concat", "Add", "ScaleAdd", "HyperACEBlock"} | _HEADS
+_MULTI_INPUT = {"Concat", "Add", "ScaleAdd", "HyperACEBlock", "CA_FPN_Block",
+                "HyperACEBlockStable"} | _HEADS
 # Spatial effect of a module on the cumulative downsample factor.
 _DOWNSAMPLE_BY_S = {"Conv", "DWConv", "GhostConv", "Focus"}  # factor = arg s (Focus: 2*s)
 
@@ -187,6 +188,24 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
             c2 = int(args[1])
         elif name == "HyperACEBlock":
             c2 = int(args[2])
+        elif name == "CA_FPN_Block":
+            # YAML: [[high, low], 1, CA_FPN_Block, [out]]
+            c2 = int(args[0])
+            args = [ch_of(i, f_list[1]), ch_of(i, f_list[0]), c2]
+        elif name == "HyperACEBlockStable":
+            # YAML: [[high, low], 1, HyperACEBlockStable, [out]]
+            c2 = int(args[0])
+            args = [ch_of(i, f_list[0]), ch_of(i, f_list[1]), c2]
+        elif name == "MFBlock":
+            c2 = c1
+            args = [c1, int(args[0]) if args else c1]
+        elif name in ("SimAM",):
+            c2 = c1
+            args = []
+        elif name in ("FusionLockTSS", "GlobalDetail", "DynamicPixelAttn",
+                      "BiFormerLiteBlock", "LayerNorm2d"):
+            c2 = c1
+            args = [c1, *args]
         elif name in _ATTN_PASSTHROUGH:
             c2 = c1
             if name in ("MambaBlock", "SwinBlock", "CA_Block", "CBAM_Block", "MixedAttention",
