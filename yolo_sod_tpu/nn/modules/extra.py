@@ -240,7 +240,8 @@ class SRAHead(nn.Module):
         for i in range(int(math.log2(self.up_factor))):
             nxt = max(c // 2, 16)
             x = ConvBNAct(c, nxt, 3, name=f"conv_{i}")(x, train)
-            x = nn.ConvTranspose(nxt, (4, 4), strides=(2, 2), padding=1,
+            # k=4/s=2/pad=1 transposed conv == exact 2x upsample (SAME in flax)
+            x = nn.ConvTranspose(nxt, (4, 4), strides=(2, 2), padding="SAME",
                                  name=f"up_{i}")(x)
             x = jax.nn.silu(x)
             c = nxt
