@@ -1,0 +1,129 @@
+"""Exporter: AOT-compiled / serialized deployment artifacts.
+
+TPU-native analog of reference engine/exporter.py (export_formats :107-126,
+per-format @try_export functions :469-1143). The reference's 15-format matrix
+(ONNX/TensorRT/CoreML/...) is CUDA/vendor machinery; the TPU-native artifact
+set is:
+
+| format      | produces            | loadable by                      |
+|-------------|---------------------|----------------------------------|
+| ckpt        | .ckpt msgpack       | YOLO(path) (native)              |
+| stablehlo   | .stablehlo bytes    | AutoBackend (jax.export)         |
+| saved_model | TF SavedModel dir   | TF Serving (via jax2tf)          |
+| tflite      | .tflite flatbuffer  | TFLite interpreter / edge        |
+
+Each serialized artifact embeds the FULL fused inference graph (forward +
+decode + NMS) at a fixed (batch, imgsz) — the exported function is the whole
+predictor, not just the backbone.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+from yolo_sod_tpu.ops.nms import non_max_suppression
+from yolo_sod_tpu.utils import LOGGER, colorstr
+
+EXPORT_FORMATS = {
+    "ckpt": ".ckpt",
+    "stablehlo": ".stablehlo",
+    "saved_model": "_saved_model",
+    "tflite": ".tflite",
+}
+
+
+def export_formats():
+    """Format table (reference exporter.py:107-126)."""
+    return [{"format": k, "suffix": v} for k, v in EXPORT_FORMATS.items()]
+
+
+class Exporter:
+    def __init__(self, args=None, _callbacks=None):
+        self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
+
+    def _pipeline_fn(self, model, variables):
+        args = self.args
+
+        def fn(x):
+            x = x.astype(jnp.bfloat16 if args.half else jnp.float32)
+            preds = model.predict(variables, x)
+            det, n = non_max_suppression(preds, conf_thres=args.conf or 0.25,
+                                         iou_thres=args.iou, max_det=args.max_det)
+            return det, n
+
+        return fn
+
+    def __call__(self, model=None, fmt: str | None = None):
+        args = self.args
+        fmt = (fmt or args.format or "stablehlo").lower()
+        if fmt not in EXPORT_FORMATS:
+            raise ValueError(f"unknown export format '{fmt}'; choose from "
+                             f"{list(EXPORT_FORMATS)}")
+        imgsz = int(args.imgsz or 640)
+        batch = int(args.batch or 1)
+        if model.variables is None:
+            model.init(imgsz=imgsz)
+        variables = model.variables
+        if args.half:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                variables)
+
+        stem = Path(str(getattr(args, "model", None) or "model")).stem
+        out = Path(f"{stem}_{imgsz}{EXPORT_FORMATS[fmt]}")
+        t0 = time.time()
+
+        if fmt == "ckpt":
+            from yolo_sod_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(out, model=model)
+        elif fmt == "stablehlo":
+            from jax import export as jexport
+
+            fn = jax.jit(self._pipeline_fn(model, variables))
+            exp = jexport.export(fn)(
+                jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), jnp.float32))
+            meta = {"imgsz": imgsz, "batch": batch, "nc": model.nc,
+                    "names": {int(k): v for k, v in model.names.items()},
+                    "max_det": int(args.max_det)}
+            header = json.dumps(meta).encode()
+            with open(out, "wb") as f:
+                f.write(b"YSTHLO1\n")
+                f.write(len(header).to_bytes(8, "little"))
+                f.write(header)
+                f.write(exp.serialize())
+        elif fmt in ("saved_model", "tflite"):
+            try:
+                import tensorflow as tf
+                from jax.experimental import jax2tf
+            except Exception as e:  # pragma: no cover
+                raise RuntimeError(f"tensorflow/jax2tf unavailable: {e}")
+
+            fn = self._pipeline_fn(model, variables)
+            tf_fn = tf.function(
+                jax2tf.convert(fn, with_gradient=False),
+                input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3), tf.float32)],
+                autograph=False)
+            module = tf.Module()
+            module.f = tf_fn
+            tf.saved_model.save(module, str(out if fmt == "saved_model"
+                                            else out.with_suffix("")) if fmt == "saved_model"
+                                else f"{out.with_suffix('')}_saved_model",
+                                signatures=tf_fn)
+            if fmt == "tflite":
+                conv = tf.lite.TFLiteConverter.from_saved_model(
+                    f"{out.with_suffix('')}_saved_model")
+                conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS,
+                                                  tf.lite.OpsSet.SELECT_TF_OPS]
+                open(out, "wb").write(conv.convert())
+
+        LOGGER.info(f"{colorstr('export:')} {fmt} -> {out} "
+                    f"({time.time() - t0:.1f}s)")
+        return str(out)

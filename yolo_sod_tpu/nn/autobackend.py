@@ -1,0 +1,110 @@
+"""AutoBackend: uniform inference over export formats.
+
+TPU-native analog of reference nn/autobackend.py (763 LoC, 15 formats):
+format sniffing by suffix/magic, metadata recovery, uniform
+``forward(im) -> (det, n_valid)`` where det is (B, max_det, 6).
+
+Supported: native .ckpt (rebuild model + jit), .stablehlo (jax.export
+deserialize — runs the exact serialized fused graph), .tflite (TFLite
+interpreter, host CPU).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_sod_tpu.utils import LOGGER
+
+HLO_MAGIC = b"YSTHLO1\n"
+
+
+class AutoBackend:
+    def __init__(self, weights: str, conf: float = 0.25, iou: float = 0.45,
+                 max_det: int = 300):
+        self.path = Path(str(weights))
+        self.names: dict = {}
+        self.imgsz = None
+        suffix = self.path.suffix.lower()
+        if suffix in (".ckpt", ".msgpack"):
+            self._init_native(conf, iou, max_det)
+            self.format = "ckpt"
+        elif suffix == ".stablehlo":
+            self._init_stablehlo()
+            self.format = "stablehlo"
+        elif suffix == ".tflite":
+            self._init_tflite()
+            self.format = "tflite"
+        else:
+            raise ValueError(f"unsupported weights format: {self.path}")
+        LOGGER.info(f"AutoBackend: loaded {self.format} backend from {self.path}")
+
+    # -- native ---------------------------------------------------------------
+    def _init_native(self, conf, iou, max_det):
+        from yolo_sod_tpu.nn.tasks import DetectionModel
+        from yolo_sod_tpu.ops.nms import non_max_suppression
+        from yolo_sod_tpu.utils.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(self.path)
+        model = DetectionModel(ckpt["model_yaml"])
+        model.variables = ckpt.get("ema") or ckpt["variables"]
+        if not model.variables or "params" not in model.variables:
+            model.variables = ckpt["variables"]
+        self.names = ckpt.get("names") or {i: str(i) for i in range(model.nc)}
+        self.model = model
+
+        @jax.jit
+        def fn(x):
+            preds = model.predict(model.variables, x)
+            return non_max_suppression(preds, conf_thres=conf, iou_thres=iou,
+                                       max_det=max_det)
+        self._fn = fn
+
+    # -- stablehlo ------------------------------------------------------------
+    def _init_stablehlo(self):
+        from jax import export as jexport
+
+        with open(self.path, "rb") as f:
+            magic = f.read(len(HLO_MAGIC))
+            if magic != HLO_MAGIC:
+                raise ValueError(f"{self.path}: bad stablehlo header")
+            n = int.from_bytes(f.read(8), "little")
+            meta = json.loads(f.read(n).decode())
+            blob = f.read()
+        self.names = {int(k): v for k, v in (meta.get("names") or {}).items()}
+        self.imgsz = meta.get("imgsz")
+        exp = jexport.deserialize(blob)
+        self._fn = lambda x: exp.call(x)
+
+    # -- tflite ---------------------------------------------------------------
+    def _init_tflite(self):
+        import tensorflow as tf
+
+        self._interp = tf.lite.Interpreter(model_path=str(self.path))
+        self._interp.allocate_tensors()
+        self._in = self._interp.get_input_details()
+        self._out = self._interp.get_output_details()
+
+        def fn(x):
+            self._interp.set_tensor(self._in[0]["index"], np.asarray(x, np.float32))
+            self._interp.invoke()
+            outs = [self._interp.get_tensor(o["index"]) for o in self._out]
+            return tuple(outs)
+        self._fn = fn
+
+    # -- uniform API ----------------------------------------------------------
+    def forward(self, im):
+        """im: (B, H, W, 3) float32 in [0,1] → (det (B, max_det, 6), n (B,))."""
+        out = self._fn(jnp.asarray(im) if self.format != "tflite" else im)
+        det, n = out[0], out[1]
+        return np.asarray(jax.device_get(det)), np.asarray(jax.device_get(n))
+
+    __call__ = forward
+
+    def warmup(self, imgsz=(1, 640, 640, 3)):
+        self.forward(np.zeros(imgsz, np.float32))
+        return self

@@ -1,0 +1,87 @@
+"""Benchmark harness: export-all-formats x inference sweep + model profiling.
+
+TPU-native analog of reference utils/benchmarks.py (benchmark() :50,
+ProfileModels :315): exports the model to every supported format, runs the
+same input through each backend, and reports latency/throughput per format.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+from yolo_sod_tpu.utils import LOGGER, colorstr
+
+
+def benchmark(model=None, imgsz: int = 640, batch: int = 1, half: bool = True,
+              formats=("ckpt", "stablehlo"), iters: int = 10, verbose: bool = True):
+    """Export + re-run the fused pipeline per format; returns rows of results."""
+    from yolo_sod_tpu.engine.exporter import Exporter
+    from yolo_sod_tpu.nn.autobackend import AutoBackend
+    from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+
+    results = []
+    rng = np.random.default_rng(0)
+    x = rng.random((batch, imgsz, imgsz, 3), np.float32)
+    for fmt in formats:
+        try:
+            args = get_cfg(DEFAULT_CFG_DICT, {"imgsz": imgsz, "batch": batch,
+                                              "half": half, "format": fmt,
+                                              "mode": "export"})
+            path = Exporter(args=args)(model=model.model if hasattr(model, "model") else model,
+                                       fmt=fmt)
+            backend = AutoBackend(path).warmup((batch, imgsz, imgsz, 3))
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                backend.forward(x)
+                times.append(time.perf_counter() - t0)
+            p50 = float(np.median(times)) * 1000
+            results.append({"format": fmt, "status": "ok",
+                            "latency_ms": round(p50, 2),
+                            "imgs_per_sec": round(batch / (p50 / 1000), 1),
+                            "file": path})
+        except Exception as e:
+            results.append({"format": fmt, "status": f"fail: {e}"})
+    if verbose:
+        LOGGER.info(f"{colorstr('benchmark:')} imgsz={imgsz} batch={batch}")
+        for r in results:
+            LOGGER.info(f"  {r['format']:<12} {r.get('latency_ms', '-'):>8} ms  "
+                        f"{r.get('imgs_per_sec', '-'):>8} img/s  {r['status']}")
+    return results
+
+
+def profile_model(model, imgsz: int = 640, batch: int = 1, iters: int = 10):
+    """Params + FLOPs estimate + compiled-step latency (reference
+    torch_utils.profile :639 / model_info :299)."""
+    import jax
+    import jax.numpy as jnp
+
+    m = model.model if hasattr(model, "model") else model
+    if m.variables is None:
+        m.init(imgsz=imgsz)
+    n_params = m.num_params()
+
+    fn = jax.jit(lambda x: m.predict(m.variables, x))
+    x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+    # FLOPs from XLA's cost analysis of the lowered computation.
+    try:
+        compiled = fn.lower(x).compile()
+        flops = compiled.cost_analysis().get("flops", float("nan"))
+    except Exception:
+        flops = float("nan")
+    out = fn(x)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(x))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times)) * 1000
+    gflops = flops / 1e9 / batch if flops == flops else None
+    gf = f"{gflops:.1f} GFLOPs/img, " if gflops else ""
+    LOGGER.info(f"{colorstr('profile:')} {n_params / 1e6:.2f}M params, "
+                f"{gf}{p50:.2f} ms p50 @ {imgsz}")
+    return {"params": n_params, "gflops_per_img": gflops, "p50_ms": p50}
