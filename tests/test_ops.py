@@ -167,3 +167,47 @@ def test_scale_boxes_roundtrip():
     boxes_lb = jnp.array([[100.0, 160.0, 200.0, 260.0]])  # in letterboxed coords
     back = scale_boxes((640, 640), boxes_lb, (480, 640))
     assert np.allclose(np.asarray(back), [[100.0, 80.0, 200.0, 180.0]], atol=0.5)
+
+
+class TestClusterNMS:
+    """Cluster-NMS must reproduce the sequential greedy result exactly."""
+
+    def _random_preds(self, seed, B=2, A=400, nc=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        cx = rng.uniform(50, 600, (B, A, 1))
+        cy = rng.uniform(50, 600, (B, A, 1))
+        w = rng.uniform(5, 80, (B, A, 1))
+        h = rng.uniform(5, 80, (B, A, 1))
+        scores = rng.uniform(0, 1, (B, A, nc)) ** 3
+        return np.concatenate([cx, cy, w, h, scores], -1).astype(np.float32)
+
+    def test_cluster_matches_scan(self):
+        import numpy as np
+
+        from yolo_sod_tpu.ops.nms import non_max_suppression
+
+        for seed in (0, 1, 2):
+            preds = self._random_preds(seed)
+            det_c, n_c = non_max_suppression(preds, 0.25, 0.45, max_det=50,
+                                             method="cluster")
+            det_s, n_s = non_max_suppression(preds, 0.25, 0.45, max_det=50,
+                                             method="scan")
+            np.testing.assert_array_equal(np.asarray(n_c), np.asarray(n_s))
+            np.testing.assert_allclose(np.asarray(det_c), np.asarray(det_s),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_cluster_multilabel_matches_scan(self):
+        import numpy as np
+
+        from yolo_sod_tpu.ops.nms import non_max_suppression
+
+        preds = self._random_preds(3, A=200)
+        det_c, n_c = non_max_suppression(preds, 0.001, 0.7, multi_label=True,
+                                         max_det=100, method="cluster")
+        det_s, n_s = non_max_suppression(preds, 0.001, 0.7, multi_label=True,
+                                         max_det=100, method="scan")
+        np.testing.assert_array_equal(np.asarray(n_c), np.asarray(n_s))
+        np.testing.assert_allclose(np.asarray(det_c), np.asarray(det_s),
+                                   rtol=1e-5, atol=1e-5)

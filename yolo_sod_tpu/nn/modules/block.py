@@ -76,12 +76,17 @@ class C3(nn.Module):
     shortcut: bool = True
     g: int = 1
     e: float = 0.5
-    k: int | None = None  # None → (1, 3) plain-C3 kernels; int → (k, k) C3k kernels
+    k: Any = None  # None → (1, 3) plain-C3; int → (k, k) C3k; tuple pair → as-is (C3x)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        kernels = (1, 3) if self.k is None else (self.k, self.k)
+        if self.k is None:
+            kernels = (1, 3)
+        elif isinstance(self.k, int):
+            kernels = (self.k, self.k)
+        else:
+            kernels = self.k
         y1 = ConvBNAct(self.c1, c_, 1, 1, name="cv1")(x, train)
         y2 = ConvBNAct(self.c1, c_, 1, 1, name="cv2")(x, train)
         for i in range(self.n):

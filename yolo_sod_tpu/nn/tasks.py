@@ -35,7 +35,8 @@ from yolo_sod_tpu.utils import LOGGER, ROOT, colorstr, yaml_load
 _BASE_CH = {"Conv", "ConvTranspose", "GhostConv", "Bottleneck", "SPP", "SPPF", "DWConv",
             "Focus", "BottleneckCSP", "C1", "C2", "C2f", "C3k2", "C3", "C3x", "RepC3",
             "PSA", "C2PSA", "C2fPSA", "A2C2f", "VimBlock", "CompactInvertedBlock",
-            "RecurrentAttentionFusionBlock", "BiLevelRoutingAttentionFusionBlock"}
+            "RecurrentAttentionFusionBlock", "BiLevelRoutingAttentionFusionBlock",
+            "RepConv", "LightConv"}
 _REPEAT_INSERT = {"BottleneckCSP", "C1", "C2", "C2f", "C3k2", "C3", "C3x", "RepC3",
                   "C2fPSA", "C2PSA", "A2C2f"}
 _ATTN_PASSTHROUGH = {"SE", "MixedAttention", "MambaBlock", "SwinBlock", "SE_Block",
@@ -203,9 +204,17 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
             c2 = c1
             args = []
         elif name in ("FusionLockTSS", "GlobalDetail", "DynamicPixelAttn",
-                      "BiFormerLiteBlock", "LayerNorm2d"):
+                      "BiFormerLiteBlock", "LayerNorm2d", "CBAM",
+                      "ChannelAttention", "AIFI", "TransformerEncoderLayer",
+                      "PSABlock"):
             c2 = c1
             args = [c1, *args]
+        elif name == "SpatialAttention":
+            c2 = c1
+        elif name in ("HGStem", "HGBlock"):
+            cm, c2 = int(args[0]), int(args[1])
+            c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, cm, c2, *args[2:]]
         elif name in _ATTN_PASSTHROUGH:
             c2 = c1
             if name in ("MambaBlock", "SwinBlock", "CA_Block", "CBAM_Block", "MixedAttention",

@@ -67,6 +67,59 @@ def _greedy_nms_single(off_boxes, out_boxes, scores, classes, iou_thres: float,
     return det, valids.sum().astype(jnp.int32)
 
 
+def _cluster_nms_single(off_boxes, out_boxes, scores, classes, iou_thres: float,
+                        max_det: int, conf_thres: float):
+    """Exact-greedy NMS via Cluster-NMS matrix iteration.
+
+    Replaces the max_det-step sequential lax.scan with a short
+    lax.while_loop over (N, N) matrix ops: with candidates sorted by score
+    and A the strict-upper-triangular IoU matrix, iterate
+        keep ← (max over rows i kept of A[i, :]) ≤ iou_thres
+    which converges to exactly the greedy-NMS keep set in at most
+    #suppression-layers steps (typically < 10). Latency-bound 300-step chains
+    become a handful of MXU-friendly matrix reductions.
+
+    Candidates MUST be sorted by descending score (top_k output is).
+    """
+    n = off_boxes.shape[0]
+    x1, y1, x2, y2 = off_boxes[:, 0], off_boxes[:, 1], off_boxes[:, 2], off_boxes[:, 3]
+    areas = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
+    iou = inter / (areas[:, None] + areas[None, :] - inter + 1e-7)
+    # Strict upper triangle: row i can only suppress lower-scored j > i.
+    tri = jnp.triu(jnp.ones((n, n), bool), k=1)
+    A = jnp.where(tri, iou, 0.0)
+
+    valid = scores >= conf_thres
+    keep0 = valid
+
+    def body(state):
+        keep_prev, _ = state
+        sup = (A * keep_prev[:, None].astype(A.dtype)).max(axis=0)
+        keep_new = valid & (sup <= iou_thres)
+        return keep_new, keep_prev
+
+    def cond(state):
+        keep_new, keep_prev = state
+        return jnp.any(keep_new != keep_prev)
+
+    keep, _ = jax.lax.while_loop(cond, body, (keep0, jnp.zeros_like(keep0)))
+
+    # Emit up to max_det kept rows in score order (already sorted).
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1           # position among kept
+    slot = jnp.where(keep, rank, max_det)                    # drop beyond max_det
+    det = jnp.zeros((max_det + 1, 6), scores.dtype)
+    rows = jnp.concatenate([out_boxes, scores[:, None], classes[:, None]], axis=-1)
+    det = det.at[slot].set(rows, mode="drop")
+    det = det[:max_det]
+    n_valid = jnp.minimum(keep.sum(), max_det).astype(jnp.int32)
+    return det, n_valid
+
+
 def non_max_suppression(
     preds,
     conf_thres: float = 0.25,
@@ -77,6 +130,7 @@ def non_max_suppression(
     max_det: int = 300,
     max_nms: int = 4096,
     nc: int | None = None,
+    method: str = "auto",
 ):
     """Batched fixed-shape NMS over decoded predictions.
 
@@ -126,6 +180,12 @@ def non_max_suppression(
     offset_cls = jnp.zeros_like(cand_cls) if agnostic else cand_cls
     off_boxes = cand_boxes + (offset_cls * MAX_WH)[..., None]
 
-    nms_fn = partial(_greedy_nms_single, iou_thres=iou_thres, max_det=max_det,
-                     conf_thres=conf_thres)
+    # Dispatch: Cluster-NMS (few matrix iterations, exact greedy result) when
+    # the (k, k) IoU matrix fits comfortably; sequential scan otherwise.
+    if method == "cluster" or (method == "auto" and k <= 4096):
+        nms_fn = partial(_cluster_nms_single, iou_thres=iou_thres, max_det=max_det,
+                         conf_thres=conf_thres)
+    else:
+        nms_fn = partial(_greedy_nms_single, iou_thres=iou_thres, max_det=max_det,
+                         conf_thres=conf_thres)
     return jax.vmap(nms_fn)(off_boxes, cand_boxes, top_scores, cand_cls)
