@@ -117,6 +117,13 @@ class Model:
             self.predictor._tracker_registered = True
         return self.predict(source, **kwargs)
 
+    def tune(self, iterations: int = 10, **kwargs):
+        """Genetic hyperparameter search (reference model.py:817)."""
+        from yolo_sod_tpu.engine.tuner import Tuner
+
+        args = get_cfg(DEFAULT_CFG_DICT, {**self.overrides, **kwargs, "mode": "train"})
+        return Tuner(args=args)(model=self, iterations=iterations)
+
     def benchmark(self, **kwargs):
         from yolo_sod_tpu.utils.benchmarks import benchmark
 

@@ -1,0 +1,155 @@
+"""Solutions: thin applications over predict+track.
+
+TPU-native analog of the reference solutions/ package (14 modules, ~2k LoC;
+solutions/__init__.py:1-31). Implemented: BaseSolution plumbing,
+ObjectCounter (line/region counting), Heatmap (accumulated presence), and
+SpeedEstimator (px->real-world speed from track displacement) — the three
+most used; the rest are straightforward specializations of the same pattern.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Optional
+
+import numpy as np
+
+from yolo_sod_tpu.utils import LOGGER
+
+
+class BaseSolution:
+    """Shared plumbing: hold a YOLO model, track frames, expose results."""
+
+    def __init__(self, model="yolov12-sod-fusion-v5-simple.yaml", classes=None,
+                 conf: float = 0.25, verbose: bool = False, **kwargs):
+        from yolo_sod_tpu import YOLO
+
+        self.model = model if hasattr(model, "track") else YOLO(model)
+        self.classes = classes
+        self.conf = conf
+        self.verbose = verbose
+        self.track_history: dict[int, list] = defaultdict(list)
+
+    def extract_tracks(self, im0):
+        """Run track() on one frame; returns (boxes_xyxy, cls, track_ids)."""
+        results = self.model.track(im0, persist=True, conf=self.conf,
+                                   classes=self.classes, verbose=False)
+        boxes = results[0].boxes
+        ids = boxes.id
+        if ids is None:
+            return boxes.xyxy, boxes.cls, np.array([])
+        return boxes.xyxy, boxes.cls, ids
+
+    def store_track(self, track_id: int, center):
+        h = self.track_history[int(track_id)]
+        h.append(tuple(center))
+        if len(h) > 30:
+            h.pop(0)
+
+
+class ObjectCounter(BaseSolution):
+    """Count objects crossing a line or inside a region
+    (reference solutions/object_counter.py)."""
+
+    def __init__(self, region=None, **kwargs):
+        super().__init__(**kwargs)
+        # region: 2 points = counting line, >=3 points = polygon region
+        self.region = [tuple(p) for p in (region or [(0, 200), (640, 200)])]
+        self.in_count = 0
+        self.out_count = 0
+        self.counted_ids: set[int] = set()
+        self.classwise: dict = defaultdict(lambda: {"IN": 0, "OUT": 0})
+
+    def _side(self, p):
+        """Signed side of the counting line for point p."""
+        (x1, y1), (x2, y2) = self.region[0], self.region[1]
+        return np.sign((x2 - x1) * (p[1] - y1) - (y2 - y1) * (p[0] - x1))
+
+    def _in_polygon(self, p):
+        import cv2
+
+        return cv2.pointPolygonTest(np.array(self.region, np.float32), p, False) >= 0
+
+    def count(self, im0):
+        boxes, cls, ids = self.extract_tracks(im0)
+        for box, c, tid in zip(boxes, cls, ids):
+            tid = int(tid)
+            center = ((box[0] + box[2]) / 2, (box[1] + box[3]) / 2)
+            prev = self.track_history[tid][-1] if self.track_history[tid] else None
+            self.store_track(tid, center)
+            if tid in self.counted_ids or prev is None:
+                continue
+            if len(self.region) == 2:
+                if self._side(prev) != self._side(center):
+                    direction = "IN" if self._side(center) > 0 else "OUT"
+                    self._record(tid, c, direction)
+            else:
+                if self._in_polygon(center) and not self._in_polygon(prev):
+                    self._record(tid, c, "IN")
+                elif not self._in_polygon(center) and self._in_polygon(prev):
+                    self._record(tid, c, "OUT")
+        return im0
+
+    __call__ = count
+
+    def _record(self, tid, c, direction):
+        self.counted_ids.add(tid)
+        if direction == "IN":
+            self.in_count += 1
+        else:
+            self.out_count += 1
+        self.classwise[int(c)][direction] += 1
+        if self.verbose:
+            LOGGER.info(f"count: id {tid} {direction} (in={self.in_count}, "
+                        f"out={self.out_count})")
+
+
+class Heatmap(BaseSolution):
+    """Accumulate object presence into a heatmap overlay
+    (reference solutions/heatmap.py)."""
+
+    def __init__(self, colormap: int = 2, **kwargs):  # cv2.COLORMAP_JET == 2
+        super().__init__(**kwargs)
+        self.colormap = colormap
+        self.heatmap: Optional[np.ndarray] = None
+
+    def generate_heatmap(self, im0):
+        import cv2
+
+        if self.heatmap is None:
+            self.heatmap = np.zeros(im0.shape[:2], np.float32)
+        boxes, cls, ids = self.extract_tracks(im0)
+        for box in boxes:
+            x1, y1, x2, y2 = map(int, box)
+            self.heatmap[max(y1, 0):y2, max(x1, 0):x2] += 1.0
+        norm = cv2.normalize(self.heatmap, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
+        colored = cv2.applyColorMap(norm, self.colormap)
+        return cv2.addWeighted(im0, 0.5, colored, 0.5, 0)
+
+    __call__ = generate_heatmap
+
+
+class SpeedEstimator(BaseSolution):
+    """Track-displacement speed estimate (reference solutions/speed_estimation.py)."""
+
+    def __init__(self, meters_per_pixel: float = 0.05, fps: float = 30.0, **kwargs):
+        super().__init__(**kwargs)
+        self.mpp = meters_per_pixel
+        self.fps = fps
+        self.speeds: dict[int, float] = {}
+
+    def estimate_speed(self, im0):
+        boxes, cls, ids = self.extract_tracks(im0)
+        for box, tid in zip(boxes, ids):
+            tid = int(tid)
+            center = ((box[0] + box[2]) / 2, (box[1] + box[3]) / 2)
+            h = self.track_history[tid]
+            if h:
+                dx = center[0] - h[-1][0]
+                dy = center[1] - h[-1][1]
+                dist_m = float(np.hypot(dx, dy)) * self.mpp
+                self.speeds[tid] = dist_m * self.fps * 3.6   # km/h
+            self.store_track(tid, center)
+        return im0
+
+    __call__ = estimate_speed

@@ -1,0 +1,188 @@
+"""Torch (ultralytics .pt) → flax variables converter.
+
+Capability analog of reference attempt_load_one_weight/torch_safe_load
+(nn/tasks.py:824-958): lets a user of the reference bring their trained
+checkpoint across. Host-side only; torch is used purely as a reader.
+
+Key translation torch → flax (our module names were chosen to be parallel):
+  model.{i}.rest        → params["model_{i}"][rest...]  (numeric segments fold
+                          into their parent with '_': m.0.cv1 → m_0.cv1)
+  conv.weight (O,I,kh,kw)      → conv.kernel (kh,kw,I,O)
+  linear weight (O,I)          → kernel (I,O)
+  bn.weight / bn.bias          → bn.scale / bn.bias      (params)
+  bn.running_mean/var          → bn.mean / bn.var        (batch_stats)
+  ConvTranspose2d (I,O,kh,kw)  → kernel (kh,kw,I,O)
+
+Returns the variables dict plus a report of unmatched keys so fidelity holes
+are visible instead of silent.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Tuple
+
+import numpy as np
+
+from yolo_sod_tpu.utils import LOGGER
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for path, v in flat.items():
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return tree
+
+
+def load_torch_state_dict(path) -> dict:
+    """Read a .pt/.pth into a {key: np.ndarray} state dict (EMA preferred,
+    mirroring the reference checkpoint layout trainer.py:513-546)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model = None
+    if isinstance(ckpt, dict):
+        model = ckpt.get("ema") or ckpt.get("model") or ckpt
+    if hasattr(model, "state_dict"):
+        sd = model.state_dict()
+    elif isinstance(model, dict):
+        sd = model
+    else:
+        raise ValueError(f"cannot find a state dict in {path}")
+    return {k: v.detach().float().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def _candidate_paths(key: str, available: set) -> list:
+    """Translate a torch dotted key into candidate flax paths.
+
+    Numeric segments can either fold into the previous segment (Sequential
+    index → our `name_N`) or fold into 'model' (top-level layer index).
+    Generate the fold/no-fold combinations and filter by availability of the
+    module prefix among `available` path-prefixes.
+    """
+    parts = key.split(".")
+    heads = [[]]
+    for p in parts:
+        new = []
+        for h in heads:
+            if p.isdigit() and h:
+                new.append(h[:-1] + [f"{h[-1]}_{p}"])   # fold into previous
+            new.append(h + [p])                          # keep separate
+        heads = new
+    return [tuple(h) for h in heads]
+
+
+_SKIP_SUFFIXES = ("num_batches_tracked", "anchors", "strides",
+                  "dfl.conv.weight")  # frozen DFL arange conv is closed-form here
+
+
+def convert_torch_checkpoint(src, model) -> Tuple[dict, dict]:
+    """Map a torch state dict onto `model`'s flax variables.
+
+    Args:
+        src: path to .pt OR a {key: ndarray} state dict.
+        model: DetectionModel with initialized variables (shapes are the spec).
+
+    Returns:
+        (variables, report) — report = {"matched": n, "missing": [...],
+        "unused": [...]}.
+    """
+    sd = load_torch_state_dict(src) if isinstance(src, (str, Path)) else dict(src)
+    if model.variables is None:
+        model.init()
+    params = _flatten({"params": dict(model.variables["params"])})
+    bstats = _flatten({"batch_stats": dict(model.variables.get("batch_stats", {}))})
+    target = {**params, **bstats}
+    # index by (module-path-minus-leaf) for candidate matching
+    new = dict(target)
+    used = set()
+    missing = []
+
+    def try_set(path, val) -> bool:
+        if path not in target:
+            return False
+        want = target[path].shape
+        if val.shape != tuple(want):
+            return False
+        new[path] = val.astype(np.asarray(target[path]).dtype)
+        used.add(path)
+        return True
+
+    matched = 0
+    unused = []
+    for key, val in sd.items():
+        leaf = key.split(".")[-1]
+        if any(key.endswith(s) for s in _SKIP_SUFFIXES):
+            continue
+        base = key.rsplit(".", 1)[0]
+        # leaf-name + transform candidates, tried in order
+        cands: list[tuple[str, Any]] = []
+        if leaf == "weight":
+            if val.ndim == 4:
+                cands.append(("kernel", val.transpose(2, 3, 1, 0)))   # conv OIHW→HWIO
+                cands.append(("kernel", val.transpose(2, 3, 0, 1)))   # convT IOHW→HWIO
+            elif val.ndim == 2:
+                cands.append(("kernel", val.T))
+                cands.append(("embedding", val))
+            else:
+                cands.append(("scale", val))
+                cands.append(("weight", val))
+                cands.append(("gamma", val))
+        elif leaf == "bias":
+            cands.append(("bias", val))
+            cands.append(("beta", val))
+        elif leaf == "running_mean":
+            cands.append(("mean", val))
+        elif leaf == "running_var":
+            cands.append(("var", val))
+        else:
+            cands.append((leaf, val))
+
+        hit = False
+        for new_leaf, v in cands:
+            for mod_path in _candidate_paths(base, None):
+                for coll in ("params", "batch_stats"):
+                    if try_set((coll,) + mod_path + (new_leaf,), v):
+                        hit = True
+                        break
+                if hit:
+                    break
+            if hit:
+                break
+        if hit:
+            matched += 1
+        else:
+            unused.append(key)
+
+    for path in target:
+        if path not in used:
+            missing.append(".".join(path))
+
+    report = {"matched": matched, "missing": missing, "unused": unused}
+    if unused:
+        LOGGER.warning(f"convert: {len(unused)} torch keys unmatched "
+                       f"(first: {unused[:3]})")
+    if missing:
+        LOGGER.warning(f"convert: {len(missing)} target leaves not filled "
+                       f"(first: {missing[:3]})")
+    LOGGER.info(f"convert: matched {matched}/{len(sd)} torch keys")
+
+    out = _unflatten(new)
+    variables = {"params": out["params"]}
+    if "batch_stats" in out:
+        variables["batch_stats"] = out["batch_stats"]
+    return variables, report
