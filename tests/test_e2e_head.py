@@ -1,0 +1,66 @@
+"""NMS-free end-to-end head: v10Detect dual towers + top-k postprocess +
+E2EDetectLoss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _graph_dict():
+    """Tiny 3-level model ending in v10Detect."""
+    return {
+        "nc": 4,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [64, 3, 2]],
+        ],
+        "head": [[[0, 1, 2], 1, "v10Detect", ["nc"]]],
+    }
+
+
+def test_v10detect_train_and_eval_outputs():
+    from yolo_sod_tpu.nn.tasks import DetectionModel
+
+    m = DetectionModel(_graph_dict())
+    m.init(imgsz=32)
+    x = jnp.zeros((1, 32, 32, 3))
+    eval_out = m.apply(m.variables, x, train=False)
+    assert isinstance(eval_out, list) and len(eval_out) == 3
+
+    out, _ = m.apply(m.variables, x, train=True, mutable=True)
+    assert set(out) == {"one2many", "one2one"}
+    assert len(out["one2many"]) == 3
+
+
+def test_topk_postprocess_selects_best():
+    from yolo_sod_tpu.ops.nms import topk_postprocess
+
+    preds = np.zeros((1, 10, 4 + 3), np.float32)
+    preds[0, :, :4] = [50, 50, 10, 10]
+    preds[0, 4, 4 + 1] = 0.9   # anchor 4, class 1 best
+    preds[0, 7, 4 + 2] = 0.7
+    det, n = topk_postprocess(jnp.asarray(preds), max_det=5)
+    det = np.asarray(det)
+    assert det.shape == (1, 5, 6)
+    assert det[0, 0, 4] == np.float32(0.9) and det[0, 0, 5] == 1.0
+    assert det[0, 1, 4] == np.float32(0.7) and det[0, 1, 5] == 2.0
+
+
+def test_e2e_loss_runs():
+    from yolo_sod_tpu.nn.tasks import DetectionModel
+    from yolo_sod_tpu.utils.loss import E2EDetectLoss
+
+    m = DetectionModel(_graph_dict())
+    m.init(imgsz=32)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)), jnp.float32)
+    out, _ = m.apply(m.variables, x, train=True, mutable=True)
+    batch = {
+        "cls": jnp.zeros((2, 4)),
+        "bboxes": jnp.asarray(np.clip(np.random.default_rng(1).random((2, 4, 4)) * 0.5 + 0.25, 0, 1)),
+        "mask_gt": jnp.ones((2, 4)),
+    }
+    crit = E2EDetectLoss(nc=4, strides=m.graph.detect_strides)
+    total, items = crit(out, batch)
+    assert np.isfinite(float(total))
+    assert items.shape == (3,)

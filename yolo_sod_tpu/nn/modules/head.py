@@ -84,6 +84,53 @@ class Detect(nn.Module):
         return outs
 
 
+class v10Detect(Detect):
+    """End-to-end (NMS-free) dual head (reference head.py:592-626).
+
+    Training: two parallel tower sets — one2many (TAL topk=10 supervision)
+    and one2one (topk=1) consuming stop_gradient'ed features — returned as a
+    dict for E2EDetectLoss. Inference: one2one maps only; decode + top-k
+    replaces NMS entirely (ops.nms.topk_postprocess), which is the natural
+    TPU formulation: fixed shapes, no suppression loop at all.
+    """
+
+    end2end: bool = True
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False,
+                 active_mask: jax.Array | None = None):
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        strides = self.strides or tuple(8 * 2 ** i for i in range(self.nl))
+
+        def towers(prefix, inputs):
+            outs = []
+            for i, (x, c1, s) in enumerate(zip(inputs, self.ch, strides)):
+                b = ConvBNAct(c1, c2, 3, name=f"{prefix}cv2_{i}_0")(x, train)
+                b = ConvBNAct(c2, c2, 3, name=f"{prefix}cv2_{i}_1")(b, train)
+                b = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True,
+                            bias_init=nn.initializers.constant(1.0),
+                            name=f"{prefix}cv2_{i}_2")(b)
+                # Light cls tower: DW 3x3 + 1x1, twice (reference :617-621).
+                cls_bias = nn.initializers.constant(
+                    math.log(5 / self.nc / (640 / s) ** 2))
+                c = ConvBNAct(c1, c1, 3, g=c1, name=f"{prefix}cv3_{i}_0a")(x, train)
+                c = ConvBNAct(c1, c3, 1, name=f"{prefix}cv3_{i}_0b")(c, train)
+                c = ConvBNAct(c3, c3, 3, g=c3, name=f"{prefix}cv3_{i}_1a")(c, train)
+                c = ConvBNAct(c3, c3, 1, name=f"{prefix}cv3_{i}_1b")(c, train)
+                c = nn.Conv(self.nc, (1, 1), use_bias=True, bias_init=cls_bias,
+                            name=f"{prefix}cv3_{i}_2")(c)
+                outs.append(jnp.concatenate([b, c], axis=-1))
+            return outs
+
+        one2one = towers("one2one_", [jax.lax.stop_gradient(x) for x in xs]
+                         if train else xs)
+        if not train:
+            return one2one
+        one2many = towers("", xs)
+        return {"one2many": one2many, "one2one": one2one}
+
+
 class DetectStable(Detect):
     """Detect with per-scale curriculum gating (reference detect_stable.py:7-31).
 

@@ -227,7 +227,7 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
         elif name in _HEADS:
             in_chs = tuple(ch_of(i, x) for x in f_list)
             det_strides = tuple(stride_of(i, x) for x in f_list)
-            if name in ("Detect", "DetectStable"):
+            if name in ("Detect", "DetectStable", "v10Detect"):
                 kwargs = {"nc": args[0] if args else nc, "ch": in_chs,
                           "legacy": legacy, "strides": det_strides}
                 args = []
@@ -279,7 +279,7 @@ class Network(nn.Module):
             else:
                 j = spec.f[0]
                 inputs = out if (j == spec.i - 1 or j == -1) else saved[j]
-            if spec.name in ("Detect", "DetectStable"):
+            if spec.name in ("Detect", "DetectStable", "v10Detect"):
                 out = build_module(spec, f"model_{spec.i}")(inputs, train, active_mask)
             elif spec.n > 1:
                 out = inputs
@@ -347,7 +347,9 @@ class DetectionModel:
         imgsz = max(imgsz, smax * 2)
         imgsz = int(math.ceil(imgsz / smax) * smax)
         dummy = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
-        self.variables = self.net.init(rng, dummy, train=False)
+        # Trace with train=True so train-only branches (v10Detect's one2many
+        # towers) materialize their params at init.
+        self.variables = self.net.init(rng, dummy, train=True)
         return self.variables
 
     @property

@@ -189,3 +189,32 @@ def non_max_suppression(
         nms_fn = partial(_greedy_nms_single, iou_thres=iou_thres, max_det=max_det,
                          conf_thres=conf_thres)
     return jax.vmap(nms_fn)(off_boxes, cand_boxes, top_scores, cand_cls)
+
+
+def topk_postprocess(preds, max_det: int = 300, nc: int | None = None):
+    """NMS-free end-to-end postprocess (reference head.py:150-172 Detect.postprocess).
+
+    Args:
+        preds: (B, A, 4+nc) xywh + per-class scores (one2one branch output).
+
+    Returns:
+        det: (B, max_det, 6) [x1, y1, x2, y2, conf, cls] sorted by score.
+        n_valid: (B,) = max_det (fixed; filter by conf downstream).
+    """
+    B, A, no = preds.shape
+    nc = nc or no - 4
+    boxes = preds[..., :4]
+    scores = preds[..., 4:4 + nc]
+    k = min(max_det, A)
+    # Stage 1: top-k anchors by best-class score.
+    top_scores, anchor_idx = jax.lax.top_k(scores.max(-1), k)
+    boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
+    scores_k = jnp.take_along_axis(scores, anchor_idx[..., None], axis=1)  # (B, k, nc)
+    # Stage 2: top-k over (anchor, class) pairs.
+    flat = scores_k.reshape(B, k * nc)
+    conf, idx = jax.lax.top_k(flat, k)
+    cls = (idx % nc).astype(preds.dtype)
+    box = jnp.take_along_axis(boxes, (idx // nc)[..., None], axis=1)
+    det = jnp.concatenate([xywh2xyxy(box), conf[..., None], cls[..., None]], axis=-1)
+    n_valid = jnp.full((B,), k, jnp.int32)
+    return det, n_valid

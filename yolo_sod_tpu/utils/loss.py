@@ -130,3 +130,22 @@ class DetectionLoss:
         items = jnp.stack([loss_box * bg, loss_cls * cg, loss_dfl * dg])
         total = items.sum() * B
         return total, jax.lax.stop_gradient(items)
+
+
+class E2EDetectLoss:
+    """One-to-many + one-to-one dual criterion for the NMS-free v10Detect
+    head (reference loss.py:728-743): same v8 loss, TAL topk 10 and 1."""
+
+    def __init__(self, nc: int, strides, reg_max: int = 16,
+                 box_gain: float = 7.5, cls_gain: float = 0.5, dfl_gain: float = 1.5):
+        self.one2many = DetectionLoss(nc, strides, reg_max, box_gain, cls_gain,
+                                      dfl_gain, tal_topk=10)
+        self.one2one = DetectionLoss(nc, strides, reg_max, box_gain, cls_gain,
+                                     dfl_gain, tal_topk=1)
+
+    def __call__(self, preds, batch):
+        if isinstance(preds, (list, tuple)) and not isinstance(preds, dict):
+            return self.one2many(preds, batch)
+        t1, i1 = self.one2many(preds["one2many"], batch)
+        t2, i2 = self.one2one(preds["one2one"], batch)
+        return t1 + t2, i1 + i2
