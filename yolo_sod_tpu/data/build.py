@@ -84,23 +84,31 @@ class DataLoader:
         return idx
 
     def __iter__(self):
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
         idx = self._epoch_indices()
         nb = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
-            try:
-                for b in range(nb):
-                    if stop.is_set():
-                        return
-                    sel = idx[b * self.batch_size: (b + 1) * self.batch_size]
-                    if len(sel) == 0:
-                        break
-                    items = [self.dataset[int(i)] for i in sel]
-                    q.put(collate(items, self.max_boxes))
-            finally:
-                q.put(None)
+            # cv2 decode/warp release the GIL, so a small thread pool loads
+            # the items of each batch concurrently even on one host core.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                try:
+                    for b in range(nb):
+                        if stop.is_set():
+                            return
+                        sel = idx[b * self.batch_size: (b + 1) * self.batch_size]
+                        if len(sel) == 0:
+                            break
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              [int(i) for i in sel]))
+                        q.put(collate(items, self.max_boxes))
+                finally:
+                    q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -52,7 +52,8 @@ class YOLODataset:
         if single_cls:
             for lb in self.labels:
                 lb[:, 0] = 0
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0   # bumped by the loader; salts per-item RNG
         n_boxes = sum(len(l) for l in self.labels)
         LOGGER.info(f"dataset: {len(self.im_files)} images, {n_boxes} boxes ({img_path})")
 
@@ -78,12 +79,20 @@ class YOLODataset:
         return im, (h0, w0)
 
     # -- mosaic ---------------------------------------------------------------
-    def _mosaic4(self, index: int):
+    def set_epoch(self, epoch: int):
+        """Salt the per-item RNG so augmentations differ across epochs but
+        stay deterministic and thread-safe (items never share a Generator)."""
+        self.epoch = epoch
+
+    def _rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng((self.seed, self.epoch, index))
+
+    def _mosaic4(self, index: int, rng):
         """4-image mosaic on a 2x canvas; returns (img, labels_xyxy)."""
         s = self.imgsz
-        yc = int(self.rng.uniform(s // 2, 2 * s - s // 2))
-        xc = int(self.rng.uniform(s // 2, 2 * s - s // 2))
-        indices = [index] + [int(self.rng.integers(0, len(self))) for _ in range(3)]
+        yc = int(rng.uniform(s // 2, 2 * s - s // 2))
+        xc = int(rng.uniform(s // 2, 2 * s - s // 2))
+        indices = [index] + [int(rng.integers(0, len(self))) for _ in range(3)]
         img4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
         labels4 = []
         for i, idx in enumerate(indices):
@@ -112,24 +121,25 @@ class YOLODataset:
     # -- item -----------------------------------------------------------------
     def __getitem__(self, index: int) -> dict:
         imgsz = self.imgsz
+        rng = self._rng(index)
         ratio_pad = (1.0, (0.0, 0.0))
-        if self.augment and self.rng.random() < self._hyp("mosaic"):
-            img, labels_xyxy = self._mosaic4(index)
+        if self.augment and rng.random() < self._hyp("mosaic"):
+            img, labels_xyxy = self._mosaic4(index, rng)
             border = (-imgsz // 2, -imgsz // 2)
             img, labels_xyxy = random_perspective(
-                img, labels_xyxy, self.rng,
+                img, labels_xyxy, rng,
                 degrees=self._hyp("degrees"), translate=self._hyp("translate", 0.1),
                 scale=self._hyp("scale", 0.5), shear=self._hyp("shear"),
                 perspective=self._hyp("perspective"), border=border)
-            if self.rng.random() < self._hyp("mixup"):
-                idx2 = int(self.rng.integers(0, len(self)))
-                img2, labels2 = self._mosaic4(idx2)
+            if rng.random() < self._hyp("mixup"):
+                idx2 = int(rng.integers(0, len(self)))
+                img2, labels2 = self._mosaic4(idx2, rng)
                 img2, labels2 = random_perspective(
-                    img2, labels2, self.rng,
+                    img2, labels2, rng,
                     degrees=self._hyp("degrees"), translate=self._hyp("translate", 0.1),
                     scale=self._hyp("scale", 0.5), shear=self._hyp("shear"),
                     perspective=self._hyp("perspective"), border=border)
-                img, labels_xyxy = mixup(img, labels_xyxy, img2, labels2, self.rng)
+                img, labels_xyxy = mixup(img, labels_xyxy, img2, labels2, rng)
             ori_shape = (imgsz, imgsz)
         else:
             img, ori_shape = self.load_image(index)
@@ -140,24 +150,24 @@ class YOLODataset:
             if self.augment:
                 img = np.ascontiguousarray(img)
                 img, labels_xyxy = random_perspective(
-                    img, labels_xyxy, self.rng,
+                    img, labels_xyxy, rng,
                     degrees=self._hyp("degrees"), translate=self._hyp("translate", 0.1),
                     scale=self._hyp("scale", 0.5), shear=self._hyp("shear"),
                     perspective=self._hyp("perspective"))
 
         if self.augment:
             img = np.ascontiguousarray(img)
-            img, labels_xyxy = copy_paste_flip(img, labels_xyxy, self.rng,
+            img, labels_xyxy = copy_paste_flip(img, labels_xyxy, rng,
                                                p=self._hyp("copy_paste"))
-            augment_hsv(img, self.rng, self._hyp("hsv_h", 0.015),
+            augment_hsv(img, rng, self._hyp("hsv_h", 0.015),
                         self._hyp("hsv_s", 0.7), self._hyp("hsv_v", 0.4))
-            if self.rng.random() < self._hyp("flipud"):
+            if rng.random() < self._hyp("flipud"):
                 img = np.flipud(img)
                 if len(labels_xyxy):
                     y1 = labels_xyxy[:, 2].copy()
                     labels_xyxy[:, 2] = img.shape[0] - labels_xyxy[:, 4]
                     labels_xyxy[:, 4] = img.shape[0] - y1
-            if self.rng.random() < self._hyp("fliplr", 0.5):
+            if rng.random() < self._hyp("fliplr", 0.5):
                 img = np.fliplr(img)
                 if len(labels_xyxy):
                     x1 = labels_xyxy[:, 1].copy()
