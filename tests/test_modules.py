@@ -114,3 +114,41 @@ def test_all_model_yamls_build_and_run(cfg, n_scales):
         assert list(m.stride) == [4, 8, 16, 32]
     else:
         assert list(m.stride) == [8, 16, 32]
+
+
+def test_pallas_scan_matches_associative_interpret():
+    """Pallas kernel (interpret mode on CPU) == associative scan."""
+    from yolo_sod_tpu.nn.modules.ssm import selective_scan
+    from yolo_sod_tpu.ops.pallas_scan import selective_scan_pallas
+
+    rng = np.random.default_rng(3)
+    b, L, d, n = 2, 70, 256, 16
+    u = jnp.asarray(rng.standard_normal((b, L, d)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.01, 0.3, (b, L, d)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (d, n)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+    D = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    ref = selective_scan(u, dt, A, B, C, D)
+    got = selective_scan_pallas(u, dt, A, B, C, D, chunk=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_selective_scan_fast_grad():
+    """custom_vjp backward works and matches direct differentiation."""
+    from yolo_sod_tpu.nn.modules.ssm import selective_scan, selective_scan_fast
+
+    rng = np.random.default_rng(4)
+    b, L, d, n = 1, 9, 8, 4
+    args = (
+        jnp.asarray(rng.standard_normal((b, L, d)), jnp.float32),
+        jnp.asarray(rng.uniform(0.01, 0.3, (b, L, d)), jnp.float32),
+        -jnp.asarray(rng.uniform(0.5, 2.0, (d, n)), jnp.float32),
+        jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32),
+        jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32),
+        jnp.asarray(rng.standard_normal(d), jnp.float32),
+    )
+    g_fast = jax.grad(lambda *a: selective_scan_fast(*a).sum(), argnums=(0, 2))(*args)
+    g_ref = jax.grad(lambda *a: selective_scan(*a).sum(), argnums=(0, 2))(*args)
+    for a, b_ in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)

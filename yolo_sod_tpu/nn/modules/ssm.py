@@ -26,6 +26,13 @@ from flax import linen as nn
 from yolo_sod_tpu.nn.modules.conv import ConvBNAct
 
 
+def _tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def selective_scan(u, dt, A, B, C, D):
     """Associative-scan selective SSM.
 
@@ -52,6 +59,30 @@ def selective_scan(u, dt, A, B, C, D):
     _, h = jax.lax.associative_scan(combine, (g, f), axis=1)
     y = jnp.einsum("bldn,bln->bld", h, C)
     return y + u * D[None, None]
+
+
+@jax.custom_vjp
+def selective_scan_fast(u, dt, A, B, C, D):
+    """Pallas single-pass scan on TPU (4x the associative scan at Mamba-P3
+    sizes; ops/pallas_scan.py), associative scan elsewhere. Backward
+    differentiates the associative formulation — mathematically identical."""
+    if _tpu_backend():
+        from yolo_sod_tpu.ops.pallas_scan import selective_scan_pallas
+
+        return selective_scan_pallas(u, dt, A, B, C, D)
+    return selective_scan(u, dt, A, B, C, D)
+
+
+def _ssf_fwd(u, dt, A, B, C, D):
+    return selective_scan_fast(u, dt, A, B, C, D), (u, dt, A, B, C, D)
+
+
+def _ssf_bwd(res, g):
+    _, vjp = jax.vjp(selective_scan, *res)
+    return vjp(g)
+
+
+selective_scan_fast.defvjp(_ssf_fwd, _ssf_bwd)
 
 
 class SSMCore(nn.Module):
@@ -105,8 +136,8 @@ class SSMCore(nn.Module):
         A = -jnp.exp(A_log.astype(jnp.float32))
         Dp = self.param("D", nn.initializers.ones, (d,))
 
-        y = selective_scan(x.astype(jnp.float32), dt.astype(jnp.float32), A,
-                           Bg.astype(jnp.float32), Cg.astype(jnp.float32), Dp)
+        y = selective_scan_fast(x.astype(jnp.float32), dt.astype(jnp.float32), A,
+                                Bg.astype(jnp.float32), Cg.astype(jnp.float32), Dp)
         y = y.astype(u.dtype) * jax.nn.silu(z)
         return nn.Dense(d, use_bias=False, name="out_proj")(y)
 
