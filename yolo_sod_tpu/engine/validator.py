@@ -83,6 +83,7 @@ class DetectionValidator:
         metrics = DetMetrics(names=names)
         confusion = ConfusionMatrix(nc=nc, conf=conf)
         stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        self.jdict = []    # COCO-format predictions when save_json
         n_images = 0
         B = self.dataloader.batch_size
 
@@ -116,6 +117,9 @@ class DetectionValidator:
                         stats["pred_cls"].append(np.zeros(0))
                         confusion.process_batch(None, gt_xyxy, gt_cls)
                     continue
+                if getattr(args, "save_json", False):
+                    self.pred_to_json(d, batch["im_file"][bi],
+                                      batch["ratio_pad"][bi], batch["ori_shape"][bi])
                 iou = box_iou(gt_xyxy, d[:, :4])
                 tp = match_predictions(d[:, 5], gt_cls, iou)
                 stats["tp"].append(tp)
@@ -147,4 +151,52 @@ class DetectionValidator:
                 LOGGER.info(f"  {names.get(int(c), c):<20} P={p:.3f} R={r:.3f} "
                             f"AP50={ap50:.4f} AP={ap:.4f}")
         self.confusion_matrix = confusion
+        if getattr(args, "save_json", False) and self.jdict:
+            self.save_json_file()
         return metrics
+
+    # -- COCO json ------------------------------------------------------------
+    def pred_to_json(self, det: np.ndarray, im_file: str, ratio_pad, ori_shape):
+        """Append COCO-format rows for one image's detections
+        (reference detect/val.py:282 pred_to_json)."""
+        stem = Path(im_file).stem
+        image_id = int(stem) if stem.isnumeric() else stem
+        boxes = scale_boxes_np(det[:, :4], ratio_pad, ori_shape)
+        for (x1, y1, x2, y2), conf, cls in zip(boxes, det[:, 4], det[:, 5]):
+            self.jdict.append({
+                "image_id": image_id,
+                "category_id": int(cls),
+                "bbox": [round(float(x1), 3), round(float(y1), 3),
+                         round(float(x2 - x1), 3), round(float(y2 - y1), 3)],
+                "score": round(float(conf), 5),
+            })
+
+    def save_json_file(self, path: Optional[Path] = None):
+        import json
+
+        path = path or (self.save_dir / "predictions.json" if self.save_dir
+                        else Path("predictions.json"))
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.jdict, f)
+        LOGGER.info(f"val: saved {len(self.jdict)} predictions to {path}")
+        return path
+
+    def eval_json(self, anno_json, pred_json=None):
+        """COCOeval mAP when pycocotools is available
+        (reference detect/val.py:297-337); raises with guidance otherwise."""
+        try:
+            from pycocotools.coco import COCO
+            from pycocotools.cocoeval import COCOeval
+        except ImportError as e:
+            raise ImportError(
+                "pycocotools is not installed in this image; the built-in "
+                "DetMetrics mAP (101-pt interpolation) is the supported "
+                "evaluator here") from e
+        anno = COCO(str(anno_json))
+        pred = anno.loadRes(str(pred_json or self.save_json_file()))
+        ev = COCOeval(anno, pred, "bbox")
+        ev.evaluate()
+        ev.accumulate()
+        ev.summarize()
+        return {"mAP50-95": ev.stats[0], "mAP50": ev.stats[1]}
