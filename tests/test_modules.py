@@ -152,3 +152,26 @@ def test_selective_scan_fast_grad():
     g_ref = jax.grad(lambda *a: selective_scan(*a).sum(), argnums=(0, 2))(*args)
     for a, b_ in zip(g_fast, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_matches_einsum_interpret():
+    from yolo_sod_tpu.ops.pallas_attention import flash_attention
+
+    rng = np.random.default_rng(5)
+    BH, Lq, Lk, D = 2, 100, 150, 32
+    q = jnp.asarray(rng.standard_normal((BH, Lq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((BH, Lk, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((BH, Lk, D)), jnp.float32)
+    ref = jnp.einsum("bqk,bkd->bqd",
+                     jax.nn.softmax(jnp.einsum("bqd,bkd->bqk", q, k) * D ** -0.5, -1),
+                     v)
+    got = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mhsa_dispatch_cpu():
+    from yolo_sod_tpu.ops.pallas_attention import fused_mhsa
+
+    q = jnp.ones((2, 16, 8))
+    out = fused_mhsa(q, q, q)   # CPU -> einsum path
+    assert out.shape == (2, 16, 8)

@@ -119,10 +119,16 @@ class FusionLockTSS(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from yolo_sod_tpu.ops.pallas_attention import fused_mhsa
+
         B, H, W, C = x.shape
         seq = x.reshape(B, H * W, C)
-        attn = nn.MultiHeadDotProductAttention(num_heads=1, qkv_features=C,
-                                               name="attn")(seq, seq)
+        # Single-head full-map attention; long maps route through the Pallas
+        # flash kernel.
+        qkv = nn.Dense(3 * C, name="attn_qkv")(seq)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn = fused_mhsa(q, k, v)
+        attn = nn.Dense(C, name="attn_out")(attn)
         return jnp.tanh(attn.reshape(B, H, W, C)) * x
 
 

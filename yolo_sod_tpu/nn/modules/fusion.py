@@ -193,10 +193,21 @@ class RecurrentAttentionFusionBlock(nn.Module):
         if use_sageattention2():
             f_attn = SageAttention2(embed, name="sage")(f_attn, train)
         else:
+            from yolo_sod_tpu.ops.pallas_attention import fused_mhsa
+
             seq = f_attn.reshape(B, H * W, embed)
             seq = nn.LayerNorm(name="ln1")(seq)
-            attn = nn.MultiHeadDotProductAttention(
-                num_heads=self.n_heads, qkv_features=embed, name="mhsa")(seq, seq)
+            # Full-map MHSA — at P2 scale this is a 25k-token sequence, so it
+            # routes through the Pallas flash kernel (never materializes the
+            # (L, L) score matrix in HBM).
+            hd = embed // self.n_heads
+            qkv = nn.Dense(3 * embed, name="mhsa_qkv")(seq)
+            qkv = qkv.reshape(B, H * W, 3, self.n_heads, hd)
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3).reshape(
+                B * self.n_heads, H * W, hd) for i in range(3))
+            attn = fused_mhsa(q, k, v)
+            attn = attn.reshape(B, self.n_heads, H * W, hd).transpose(0, 2, 1, 3)
+            attn = nn.Dense(embed, name="mhsa_out")(attn.reshape(B, H * W, embed))
             seq = seq + attn
             y = nn.LayerNorm(name="ln2")(seq)
             y = nn.Dense(embed * 2, name="ffn1")(y)
