@@ -265,6 +265,14 @@ class DetectionTrainer:
             for i, batch in pbar:
                 self.run_callbacks("on_train_batch_start")
                 ni = i + self.nb * epoch
+                # Profiler window (reference per-layer profiling analog,
+                # tasks.py:202 — here per-op detail comes from an XLA trace
+                # viewable in TensorBoard/Perfetto).
+                if args.profile and ni == 2:
+                    jax.profiler.start_trace(str(self.save_dir / "profile"))
+                elif args.profile and ni == 5:
+                    jax.profiler.stop_trace()
+                    LOGGER.info(f"profiler: trace written to {self.save_dir}/profile")
                 self._warmup(ni, epoch)
                 dev_batch = {k: batch[k] for k in ("img", "cls", "bboxes", "mask_gt")}
                 if self.mesh is not None:

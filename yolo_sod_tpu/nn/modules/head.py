@@ -84,6 +84,23 @@ class Detect(nn.Module):
         return outs
 
 
+class Classify(nn.Module):
+    """Classification head: 1x1 conv → GAP → linear (reference head.py Classify).
+
+    Returns logits (B, nc); softmax happens in the loss / predictor.
+    """
+
+    c1: int
+    nc: int
+    c_: int = 1280
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNAct(self.c1, self.c_, 1, name="conv")(x, train)
+        x = jnp.mean(x, axis=(1, 2))                 # GAP -> (B, c_)
+        return nn.Dense(self.nc, name="linear")(x)
+
+
 class v10Detect(Detect):
     """End-to-end (NMS-free) dual head (reference head.py:592-626).
 

@@ -211,6 +211,9 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
             args = [c1, *args]
         elif name == "SpatialAttention":
             c2 = c1
+        elif name == "Classify":
+            c2 = args[0] if args else nc
+            args = [c1, c2]
         elif name in ("HGStem", "HGBlock"):
             cm, c2 = int(args[0]), int(args[1])
             c2 = make_divisible(min(c2, max_channels) * width, 8)
@@ -380,3 +383,19 @@ class DetectionModel:
         n = self.num_params()
         LOGGER.info(f"{colorstr('model:')} {len(self.graph.specs)} layers, {n:,} parameters")
         return len(self.graph.specs), n
+
+
+class ClassificationModel(DetectionModel):
+    """Image classifier over the same YAML graph machinery
+    (reference tasks.py ClassificationModel). predict() returns softmax probs.
+    """
+
+    def __init__(self, cfg="yolov12-cls.yaml", ch: int = 3,
+                 nc: Optional[int] = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+        self.task = "classify"
+        self.stride = np.array([1])
+
+    def predict(self, variables, x):
+        logits = self.net.apply(variables, x, train=False)
+        return jax.nn.softmax(logits, axis=-1)
