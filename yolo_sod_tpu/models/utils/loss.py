@@ -203,3 +203,18 @@ def get_cdn_group(batch, num_classes: int, num_queries: int, class_embed,
         start += m
     dn_meta = {"dn_num_group": group, "dn_num_split": [dn_per_img, num_queries]}
     return cls_q, box_q, None, dn_meta
+
+
+class RTDETRDetectionLoss(DETRLoss):
+    """DETRLoss over the RTDETRDecoder training outputs: per-decoder-layer
+    aux losses + the encoder's query-selection proposals (reference
+    models/utils/loss.py:291)."""
+
+    def __call__(self, preds: dict, batch):
+        dec_b = np.asarray(preds["dec_bboxes"])     # (L, B, Q, 4)
+        dec_s = np.asarray(preds["dec_scores"])
+        enc_b = np.asarray(preds["enc_bboxes"])[None]
+        enc_s = np.asarray(preds["enc_scores"])[None]
+        pred_b = np.concatenate([dec_b, enc_b], 0)
+        pred_s = np.concatenate([dec_s, enc_s], 0)
+        return super().__call__(pred_b, pred_s, batch)

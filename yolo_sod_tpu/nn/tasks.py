@@ -42,7 +42,8 @@ _REPEAT_INSERT = {"BottleneckCSP", "C1", "C2", "C2f", "C3k2", "C3", "C3x", "RepC
 _ATTN_PASSTHROUGH = {"SE", "MixedAttention", "MambaBlock", "SwinBlock", "SE_Block",
                      "CA_Block", "A2_Attn", "CBAM_Block", "SageAttention2",
                      "BiLevelRoutingAttention"}
-_HEADS = {"Detect", "DetectStable", "Segment", "Pose", "OBB", "v10Detect", "DETRAuxHead"}
+_HEADS = {"Detect", "DetectStable", "Segment", "Pose", "OBB", "v10Detect",
+          "DETRAuxHead", "RTDETRDecoder"}
 _MULTI_INPUT = {"Concat", "Add", "ScaleAdd", "HyperACEBlock", "CA_FPN_Block",
                 "HyperACEBlockStable"} | _HEADS
 # Spatial effect of a module on the cumulative downsample factor.
@@ -218,6 +219,13 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
             cm, c2 = int(args[0]), int(args[1])
             c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, cm, c2, *args[2:]]
+            if name == "HGBlock":
+                # row repeats fold into the block's inner conv count
+                # (reference parse_model: args.insert(4, n); n = 1)
+                while len(args) < 4:
+                    args.append(3)       # default k
+                args.insert(4, n)
+                n = 1
         elif name in _ATTN_PASSTHROUGH:
             c2 = c1
             if name in ("MambaBlock", "SwinBlock", "CA_Block", "CBAM_Block", "MixedAttention",
@@ -233,6 +241,10 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
             if name in ("Detect", "DetectStable", "v10Detect"):
                 kwargs = {"nc": args[0] if args else nc, "ch": in_chs,
                           "legacy": legacy, "strides": det_strides}
+                args = []
+                detect_index, detect_strides = i, det_strides
+            elif name == "RTDETRDecoder":
+                kwargs = {"nc": args[0] if args else nc, "ch": in_chs}
                 args = []
                 detect_index, detect_strides = i, det_strides
             c2 = 0  # heads do not feed the channel chain
