@@ -247,6 +247,19 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
                 kwargs = {"nc": args[0] if args else nc, "ch": in_chs}
                 args = []
                 detect_index, detect_strides = i, det_strides
+            elif name in ("Segment", "Pose", "OBB"):
+                kwargs = {"nc": args[0] if args else nc, "ch": in_chs,
+                          "legacy": legacy, "strides": det_strides}
+                if name == "Segment" and len(args) > 1:
+                    kwargs["nm"] = args[1]
+                    if len(args) > 2:
+                        kwargs["npr"] = args[2]
+                elif name == "Pose" and len(args) > 1:
+                    kwargs["kpt_shape"] = tuple(args[1])
+                elif name == "OBB" and len(args) > 1:
+                    kwargs["ne"] = args[1]
+                args = []
+                detect_index, detect_strides = i, det_strides
             c2 = 0  # heads do not feed the channel chain
         else:
             c2 = c1
@@ -294,7 +307,8 @@ class Network(nn.Module):
             else:
                 j = spec.f[0]
                 inputs = out if (j == spec.i - 1 or j == -1) else saved[j]
-            if spec.name in ("Detect", "DetectStable", "v10Detect"):
+            if spec.name in ("Detect", "DetectStable", "v10Detect",
+                             "Segment", "Pose", "OBB"):
                 out = build_module(spec, f"model_{spec.i}")(inputs, train, active_mask)
             elif spec.n > 1:
                 out = inputs
