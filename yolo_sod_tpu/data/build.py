@@ -32,6 +32,11 @@ def collate(items: list[dict], max_boxes: int) -> dict:
     cls = np.zeros((B, M), np.float32)
     bboxes = np.zeros((B, M, 4), np.float32)
     mask = np.zeros((B, M), np.float32)
+    has_masks = "masks" in items[0]
+    if has_masks:
+        mh, mw = items[0]["masks"].shape[-2:] if items[0]["masks"].ndim == 3 \
+            else (items[0]["img"].shape[0] // 4, items[0]["img"].shape[1] // 4)
+        masks = np.zeros((B, M, mh, mw), np.float32)
     batch_idx = []
     for b, it in enumerate(items):
         lb = it["labels"][:M]
@@ -41,12 +46,16 @@ def collate(items: list[dict], max_boxes: int) -> dict:
             bboxes[b, :n] = lb[:, 1:5]
             mask[b, :n] = 1.0
             batch_idx.append(np.full(n, b, np.int32))
+        if has_masks and len(it["masks"]):
+            nm_i = min(len(it["masks"]), M)
+            masks[b, :nm_i] = it["masks"][:nm_i]
     return {
         "img": np.ascontiguousarray(img),
         "cls": cls,
         "bboxes": bboxes,
         "mask_gt": mask,
         "batch_idx": np.concatenate(batch_idx) if batch_idx else np.zeros(0, np.int32),
+        **({"masks": masks} if has_masks else {}),
         "im_file": [it["im_file"] for it in items],
         "ori_shape": [it["ori_shape"] for it in items],
         "ratio_pad": [it["ratio_pad"] for it in items],

@@ -35,7 +35,8 @@ class YOLODataset:
     def __init__(self, img_path, imgsz: int = 640, augment: bool = True,
                  hyp=None, rect: bool = False, stride: int = 32,
                  single_cls: bool = False, fraction: float = 1.0,
-                 nc: Optional[int] = None, seed: int = 0):
+                 nc: Optional[int] = None, seed: int = 0,
+                 task: str = "detect", mask_ratio: int = 4):
         self.img_path = img_path
         self.imgsz = imgsz
         self.augment = augment
@@ -48,7 +49,20 @@ class YOLODataset:
             self.im_files = self.im_files[: max(1, round(len(self.im_files) * fraction))]
         self.label_files = img2label_paths(self.im_files)
         self.nc = nc
+        self.task = task
+        self.mask_ratio = mask_ratio
         self.labels = [load_label(lf, nc) for lf in self.label_files]
+        self.segments = None
+        if task == "segment":
+            from yolo_sod_tpu.data.utils import load_label_segments
+
+            self.segments = [load_label_segments(lf) for lf in self.label_files]
+            # Polygon warping through mosaic/affine is not implemented yet:
+            # segmentation trains on the letterbox path.
+            for k in ("mosaic", "mixup", "copy_paste", "fliplr", "flipud",
+                      "degrees", "translate", "shear", "perspective"):
+                if isinstance(self.hyp, dict):
+                    self.hyp[k] = 0.0
         if single_cls:
             for lb in self.labels:
                 lb[:, 0] = 0
@@ -147,7 +161,7 @@ class YOLODataset:
             ratio_pad = (r, (dw, dh))
             h, w = ori_shape
             labels_xyxy = xywhn2xyxy(self.labels[index], round(w * r), round(h * r), dw, dh)
-            if self.augment:
+            if self.augment and self.task != "segment":
                 img = np.ascontiguousarray(img)
                 img, labels_xyxy = random_perspective(
                     img, labels_xyxy, rng,
@@ -177,14 +191,29 @@ class YOLODataset:
         h, w = img.shape[:2]
         labels = xyxy2xywhn(labels_xyxy, w, h)
         # Drop zero-area boxes produced by warping/clipping.
+        keep_rows = None
         if len(labels):
-            labels = labels[(labels[:, 3] > 1e-4) & (labels[:, 4] > 1e-4)]
+            keep_rows = (labels[:, 3] > 1e-4) & (labels[:, 4] > 1e-4)
+            labels = labels[keep_rows]
+        item_masks = None
+        if self.task == "segment":
+            from yolo_sod_tpu.data.utils import polygons_to_masks
+
+            segs = self.segments[index]
+            r, (dw, dh) = ratio_pad
+            h0, w0 = ori_shape
+            r0 = self.imgsz / max(h0, w0)
+            rx = round(w0 * r0) * r
+            ry = round(h0 * r0) * r
+            item_masks = polygons_to_masks(segs, self.imgsz, (rx, ry), (dw, dh),
+                                           self.mask_ratio)
         return {
             "img": np.ascontiguousarray(img),
             "labels": labels.astype(np.float32),
             "im_file": self.im_files[index],
             "ori_shape": ori_shape,
             "ratio_pad": ratio_pad,
+            **({"masks": item_masks} if item_masks is not None else {}),
         }
 
     def close_mosaic(self):

@@ -83,15 +83,25 @@ def list_images(path) -> list[str]:
 
 
 def load_label(label_path, nc: int | None = None) -> np.ndarray:
-    """Read one YOLO txt label file -> (n, 5) [cls, cx, cy, w, h] float32."""
+    """Read one YOLO txt label file -> (n, 5) [cls, cx, cy, w, h] float32.
+
+    Polygon rows (`cls x1 y1 ... xn yn`, > 5 columns — segmentation format)
+    reduce to their bounding box here; use load_label_segments for polygons.
+    """
     p = Path(label_path)
     if not p.exists():
         return np.zeros((0, 5), np.float32)
     rows = []
     for line in p.read_text().splitlines():
         parts = line.split()
-        if len(parts) >= 5:
-            rows.append([float(x) for x in parts[:5]])
+        if len(parts) == 5:
+            rows.append([float(x) for x in parts])
+        elif len(parts) > 5 and len(parts) % 2 == 1:
+            cls = float(parts[0])
+            xy = np.array([float(x) for x in parts[1:]], np.float32).reshape(-1, 2)
+            x1, y1 = xy.min(0)
+            x2, y2 = xy.max(0)
+            rows.append([cls, (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
     if not rows:
         return np.zeros((0, 5), np.float32)
     lb = np.array(rows, np.float32)
@@ -102,3 +112,44 @@ def load_label(label_path, nc: int | None = None) -> np.ndarray:
             LOGGER.warning(f"{label_path}: dropped {int((~keep).sum())} rows with class >= {nc}")
             lb = lb[keep]
     return lb
+
+
+def load_label_segments(label_path) -> list:
+    """Read polygon rows -> list of (cls, (n, 2) normalized xy) tuples."""
+    p = Path(label_path)
+    if not p.exists():
+        return []
+    out = []
+    for line in p.read_text().splitlines():
+        parts = line.split()
+        if len(parts) > 5 and len(parts) % 2 == 1:
+            cls = float(parts[0])
+            xy = np.array([float(x) for x in parts[1:]], np.float32).reshape(-1, 2)
+            out.append((cls, np.clip(xy, 0, 1)))
+        elif len(parts) == 5:
+            # box row -> rectangle polygon
+            cls, cx, cy, w, h = (float(x) for x in parts)
+            xy = np.array([[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2],
+                           [cx + w / 2, cy + h / 2], [cx - w / 2, cy + h / 2]],
+                          np.float32)
+            out.append((cls, np.clip(xy, 0, 1)))
+    return out
+
+
+def polygons_to_masks(segments, imgsz: int, ratio, pad, mask_ratio: int = 4) -> np.ndarray:
+    """Rasterize letterboxed polygons into per-instance masks at
+    imgsz/mask_ratio resolution. `segments` is [(cls, (n,2) normalized xy)]
+    in ORIGINAL image coords scaled to (w0, h0) implicitly by ratio/pad of
+    the letterbox applied to the resized image."""
+    import cv2
+
+    m = imgsz // mask_ratio
+    masks = np.zeros((len(segments), m, m), np.float32)
+    r, (dw, dh) = ratio, pad
+    for i, (_, xy) in enumerate(segments):
+        pts = xy.copy()
+        # normalized original coords -> letterboxed pixels -> mask pixels
+        pts[:, 0] = (pts[:, 0] * r[0] + dw) / mask_ratio
+        pts[:, 1] = (pts[:, 1] * r[1] + dh) / mask_ratio
+        cv2.fillPoly(masks[i], [pts.astype(np.int32)], 1.0)
+    return masks
