@@ -33,11 +33,39 @@ class Model:
         else:
             self._load(model_str)
 
+    @property
+    def task_map(self) -> dict:
+        """task -> {model, trainer, validator, predictor} routing
+        (reference model.py:1106). Lazily imported to keep construction light."""
+        from yolo_sod_tpu.engine.classify import (ClassificationTrainer,
+                                                  ClassificationValidator)
+        from yolo_sod_tpu.engine.predictor import DetectionPredictor
+        from yolo_sod_tpu.engine.trainer import DetectionTrainer
+        from yolo_sod_tpu.engine.validator import DetectionValidator
+        from yolo_sod_tpu.nn.tasks import ClassificationModel, DetectionModel
+
+        return {
+            "detect": {"model": DetectionModel, "trainer": DetectionTrainer,
+                       "validator": DetectionValidator,
+                       "predictor": DetectionPredictor},
+            "classify": {"model": ClassificationModel,
+                         "trainer": ClassificationTrainer,
+                         "validator": ClassificationValidator,
+                         "predictor": DetectionPredictor},
+        }
+
     # -- construction --------------------------------------------------------
     def _new(self, cfg, verbose: bool = False):
         """Build a fresh model from a YAML graph config."""
         self.cfg = cfg
-        self.model = DetectionModel(cfg, verbose=verbose)
+        name = str(cfg)
+        if self.task == "classify" or "-cls" in name:
+            from yolo_sod_tpu.nn.tasks import ClassificationModel
+
+            self.task = "classify"
+            self.model = ClassificationModel(cfg, verbose=verbose)
+        else:
+            self.model = DetectionModel(cfg, verbose=verbose)
         self.overrides["model"] = cfg if isinstance(cfg, str) else "<dict>"
         self.overrides["task"] = self.task
 

@@ -104,7 +104,9 @@ class DetectionPredictor:
 
             @jax.jit
             def fn(x):
-                x = x.astype(jnp.bfloat16 if args.half else jnp.float32)
+                # uint8 in, normalize on device: 4x less host->device traffic
+                # than fp32 (north-star: whole pipeline in one graph).
+                x = x.astype(jnp.bfloat16 if args.half else jnp.float32) / 255.0
                 preds = model.predict(variables, x)
                 return non_max_suppression(
                     preds, conf_thres=args.conf, iou_thres=args.iou,
@@ -128,7 +130,7 @@ class DetectionPredictor:
             for path, im0 in load_source(source, vid_stride=args.vid_stride or 1):
                 t0 = time.perf_counter()
                 im, r, (dw, dh) = letterbox_np(im0, (imgsz, imgsz), scaleup=False)
-                x = im[..., ::-1].astype(np.float32) / 255.0       # BGR->RGB NHWC
+                x = np.ascontiguousarray(im[..., ::-1])            # BGR->RGB uint8
                 t_pre = time.perf_counter() - t0
                 buf_imgs.append(x)
                 buf_meta.append((path, im0, (r, (dw, dh)), t_pre))
