@@ -120,3 +120,34 @@ def test_resume(dataset_yaml):
         model=model)
     trainer._setup_train()
     assert trainer.start_epoch == 2
+
+
+def test_freeze_layers(dataset_yaml):
+    """Frozen backbone layers must not move; unfrozen layers must."""
+    import jax
+
+    from yolo_sod_tpu.engine.trainer import DetectionTrainer
+    from yolo_sod_tpu.nn.tasks import DetectionModel
+
+    model = DetectionModel("yolov12n.yaml", nc=2)
+    model.init(imgsz=64)
+    before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), model.variables["params"])
+    trainer = DetectionTrainer(
+        overrides={"data": str(dataset_yaml), "epochs": 1, "batch": 4,
+                   "imgsz": 64, "optimizer": "SGD", "lr0": 0.05, "nbs": 4,
+                   "warmup_epochs": 0.0, "val": False, "save": False,
+                   "mosaic": 0.0, "project": str(TMP / "runs"),
+                   "name": "freeze", "exist_ok": True, "close_mosaic": 0,
+                   "freeze": 2},
+        model=model)
+    trainer.train()
+    after = jax.device_get(trainer.state.params)
+    assert np.allclose(before["model_0"]["conv"]["kernel"],
+                       after["model_0"]["conv"]["kernel"]), \
+        "frozen layer parameters changed"
+    last_key = sorted(after)[-1]
+    moved = not np.allclose(
+        np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(before[last_key])]),
+        np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(after[last_key])]))
+    assert moved, "unfrozen parameters did not update"

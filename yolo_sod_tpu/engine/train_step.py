@@ -106,13 +106,25 @@ def build_optimizer(params, name: str = "auto", lr: float = 0.01,
     raise ValueError(f"unknown optimizer '{name}'")
 
 
-def set_hyperparams(opt_state, lr: float, momentum: Optional[float] = None):
-    """Overwrite injected lr/momentum in-place on the host (no retrace).
+def _find_hyperparams(state):
+    """Locate the inject_hyperparams state inside MultiSteps / chain wrappers."""
+    if hasattr(state, "hyperparams"):
+        return state.hyperparams
+    if hasattr(state, "inner_opt_state"):
+        return _find_hyperparams(state.inner_opt_state)
+    if isinstance(state, (tuple, list)):
+        for s in state:
+            hp = _find_hyperparams(s)
+            if hp is not None:
+                return hp
+    return None
 
-    Handles the optax.MultiSteps wrapper used for gradient accumulation.
-    """
-    inner = getattr(opt_state, "inner_opt_state", opt_state)
-    hp = inner.hyperparams
+
+def set_hyperparams(opt_state, lr: float, momentum: Optional[float] = None):
+    """Overwrite injected lr/momentum in-place on the host (no retrace)."""
+    hp = _find_hyperparams(opt_state)
+    if hp is None:
+        return opt_state
     hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
     if momentum is not None and "momentum" in hp:
         hp["momentum"] = jnp.asarray(momentum, jnp.float32)

@@ -142,6 +142,24 @@ class DetectionTrainer:
         tx = build_optimizer(self.model.variables["params"], name=name, lr=lr0,
                              momentum=momentum, weight_decay=weight_decay,
                              iterations=iterations, nc=nc)
+        # Layer freezing (reference trainer.py:246 freeze list; the reference
+        # also always freezes .dfl — our DFL is closed-form, nothing to freeze).
+        if args.freeze not in (None, 0):
+            freeze = list(range(args.freeze)) if isinstance(args.freeze, int) \
+                else [int(i) for i in args.freeze]
+            frozen_names = {f"model_{i}" for i in freeze}
+
+            def is_frozen(path_key: str) -> bool:
+                # model_{i} or model_{i}_{rep}
+                parts = path_key.split("_")
+                return len(parts) >= 2 and f"model_{parts[1]}" in frozen_names
+
+            mask = {k: jax.tree_util.tree_map(lambda _: is_frozen(k), v)
+                    for k, v in self.model.variables["params"].items()}
+            # Zero the FINAL updates of frozen leaves (zeroing only the grads
+            # would still let weight decay move them).
+            tx = optax.chain(tx, optax.masked(optax.set_to_zero(), mask))
+            LOGGER.info(f"freeze: layers {sorted(frozen_names)}")
         if self.accumulate > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate)
         self.tx = tx
