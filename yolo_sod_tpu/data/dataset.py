@@ -10,7 +10,6 @@ so they are read at __getitem__ time, not cached at init.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Optional
 
 import cv2

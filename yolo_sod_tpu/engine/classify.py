@@ -7,7 +7,6 @@ as detection — only the criterion and the batch contract change.
 
 from __future__ import annotations
 
-import time
 from pathlib import Path
 from typing import Optional
 

@@ -8,12 +8,10 @@ trainer/validator/predictor.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Any, Optional
 
 from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
-from yolo_sod_tpu.nn.tasks import DetectionModel, yaml_model_load
-from yolo_sod_tpu.utils import LOGGER
+from yolo_sod_tpu.nn.tasks import DetectionModel
 
 
 class Model:

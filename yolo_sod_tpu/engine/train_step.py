@@ -25,7 +25,6 @@ when total iterations > 10k else AdamW(lr=0.002·5/(4+nc)), reference
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax

@@ -9,8 +9,6 @@ whenever shapes match), and records fitness to tune_results.csv.
 from __future__ import annotations
 
 import shutil
-import time
-from pathlib import Path
 
 import numpy as np
 

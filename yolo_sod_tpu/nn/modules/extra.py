@@ -19,8 +19,6 @@ patches.
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,7 +18,7 @@ the contribution and kills the gradient, matching the reference's
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from yolo_sod_tpu.nn.modules.block import Bottleneck, C2f, C3
-from yolo_sod_tpu.nn.modules.conv import BN_EPS, BN_MOMENTUM, ConvBNAct, DWConv, autopad
+from yolo_sod_tpu.nn.modules.block import Bottleneck, C3
+from yolo_sod_tpu.nn.modules.conv import BN_EPS, BN_MOMENTUM, ConvBNAct, DWConv
 
 
 class Attention(nn.Module):

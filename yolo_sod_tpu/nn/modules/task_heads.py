@@ -13,7 +13,6 @@ import math
 from typing import Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from yolo_sod_tpu.nn.modules.conv import ConvBNAct

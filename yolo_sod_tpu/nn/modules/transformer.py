@@ -14,8 +14,6 @@ These power RTDETRDecoder-style heads and DETRAuxHead distillation.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

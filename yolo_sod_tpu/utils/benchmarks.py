@@ -8,7 +8,6 @@ same input through each backend, and reports latency/throughput per format.
 from __future__ import annotations
 
 import time
-from pathlib import Path
 
 import numpy as np
 

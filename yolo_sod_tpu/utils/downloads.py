@@ -5,7 +5,6 @@ calling code ports unchanged."""
 
 from __future__ import annotations
 
-import shutil
 import zipfile
 from pathlib import Path
 

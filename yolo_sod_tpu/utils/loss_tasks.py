@@ -9,8 +9,6 @@ static shapes, matching semantics for all realistic fg counts.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 

@@ -19,8 +19,6 @@ Semantics parity notes:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
