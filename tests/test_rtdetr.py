@@ -42,3 +42,17 @@ def test_rtdetr_training_loss(model):
     losses = crit(preds, batch)
     assert np.isfinite(float(losses["loss_total"]))
     assert any(k.endswith("_aux0") for k in losses)
+
+
+def test_rtdetr_predict_pixels_and_nms(model):
+    """model.predict emits pixel-space boxes usable by the standard NMS."""
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.ops.nms import non_max_suppression
+
+    x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)), jnp.float32)
+    preds = model.predict(model.variables, x)
+    assert preds.shape[-1] == 4 + 5
+    assert float(preds[..., :4].max()) <= 64.0 + 1e-3
+    det, n = non_max_suppression(preds, conf_thres=0.01, iou_thres=0.7, max_det=20)
+    assert det.shape == (1, 20, 6)

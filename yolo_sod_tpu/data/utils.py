@@ -28,7 +28,14 @@ def check_det_dataset(data) -> dict:
 
     root = Path(d.get("path", "")) if d.get("path") else base
     if not root.is_absolute():
-        root = (base / root).resolve()
+        # A relative `path:` may be relative to the yaml's directory OR to
+        # the working directory (the yaml often lives inside the dataset).
+        for cand in ((base / root).resolve(), Path.cwd() / root, base.resolve()):
+            if cand.is_dir():
+                root = cand
+                break
+        else:
+            root = (base / root).resolve()
     d["path"] = root
 
     for split in ("train", "val", "test"):

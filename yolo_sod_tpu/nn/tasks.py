@@ -401,9 +401,22 @@ class DetectionModel:
         return self.net.apply(variables, x, train=train, active_mask=active_mask)
 
     def predict(self, variables, x):
-        """Inference forward + decode → (B, A, 4+nc)."""
-        feats = self.net.apply(variables, x, train=False)
-        return decode_detections(feats, self.graph.detect_strides, self.nc)
+        """Inference forward + decode → (B, A, 4+nc) with pixel xywh boxes.
+
+        Uniform across head families: Detect/DetectStable/v10Detect decode
+        per-level maps through DFL+dist2bbox; RTDETRDecoder already emits
+        decoded normalized boxes (scaled to pixels here); Segment/Pose/OBB
+        decode their detect part (extra outputs via apply())."""
+        head = self.graph.specs[self.graph.detect_index].name \
+            if self.graph.detect_index >= 0 else "Detect"
+        out = self.net.apply(variables, x, train=False)
+        if head == "RTDETRDecoder":
+            h, w = x.shape[1], x.shape[2]
+            scale = jnp.array([w, h, w, h], out.dtype)
+            return jnp.concatenate([out[..., :4] * scale, out[..., 4:]], -1)
+        if head in ("Segment", "Pose", "OBB"):
+            out = out[0]
+        return decode_detections(out, self.graph.detect_strides, self.nc)
 
     def info(self, imgsz: int = 640):
         n = self.num_params()
