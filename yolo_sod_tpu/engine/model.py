@@ -102,21 +102,21 @@ class Model:
 
     def train(self, **kwargs):
         """Train the model; returns metrics."""
-        from yolo_sod_tpu.engine.trainer import DetectionTrainer
-
+        trainer_cls = self.task_map[self.task]["trainer"]
         args = {**self.overrides, **kwargs, "mode": "train"}
-        self.trainer = DetectionTrainer(overrides=args, model=self.model)
+        self.trainer = trainer_cls(overrides=args, model=self.model)
         self.trainer.train()
-        self.model.variables = self.trainer.best_variables or self.model.variables
+        best = getattr(self.trainer, "best_variables", None)
+        if best:
+            self.model.variables = best
         self.metrics = getattr(self.trainer, "metrics", None)
         return self.metrics
 
     def val(self, **kwargs):
-        """Validate on a dataset; returns DetMetrics."""
-        from yolo_sod_tpu.engine.validator import DetectionValidator
-
+        """Validate on a dataset; returns DetMetrics (detect) / accuracy (classify)."""
+        validator_cls = self.task_map[self.task]["validator"]
         args = {**self.overrides, "mode": "val", **kwargs}
-        validator = DetectionValidator(args=get_cfg(DEFAULT_CFG_DICT, args))
+        validator = validator_cls(args=get_cfg(DEFAULT_CFG_DICT, args))
         self.metrics = validator(model=self.model)
         return self.metrics
 
