@@ -48,14 +48,20 @@ class DetectionValidator:
         self.speed = {"preprocess": 0.0, "inference": 0.0, "loss": 0.0, "postprocess": 0.0}
         self._jit_fn = None
 
-    def _build_fn(self, model, variables, conf: float, iou: float, max_det: int):
-        @jax.jit
-        def fn(x):
-            preds = model.predict(variables, x.astype(jnp.bfloat16)
-                                  if self.args.half else x)
-            return non_max_suppression(preds, conf_thres=conf, iou_thres=iou,
-                                       multi_label=True, max_det=max_det)
-        return fn
+    def _build_fn(self, model, conf: float, iou: float, max_det: int):
+        """Jit once per validator; variables are an ARGUMENT so per-epoch EMA
+        weights never retrigger compilation."""
+        if self._jit_fn is None:
+            half = self.args.half
+
+            @jax.jit
+            def fn(variables, x):
+                preds = model.predict(variables, x.astype(jnp.bfloat16)
+                                      if half else x)
+                return non_max_suppression(preds, conf_thres=conf, iou_thres=iou,
+                                           multi_label=True, max_det=max_det)
+            self._jit_fn = fn
+        return self._jit_fn
 
     def __call__(self, model=None, variables=None, data: Optional[dict] = None):
         args = self.args
@@ -78,7 +84,8 @@ class DetectionValidator:
 
         imgsz = args.imgsz
         conf = args.conf if args.conf not in (None, 0) else 0.001
-        fn = self._build_fn(model, variables, conf, args.iou, args.max_det)
+        fn = self._build_fn(model, conf, args.iou, args.max_det)
+        dev_variables = variables
 
         metrics = DetMetrics(names=names)
         confusion = ConfusionMatrix(nc=nc, conf=conf)
@@ -95,7 +102,7 @@ class DetectionValidator:
                 pad = np.repeat(img[-1:], B - nb, axis=0)
                 img = np.concatenate([img, pad], axis=0)
             t0 = time.perf_counter()
-            det, n_valid = fn(jnp.asarray(img))
+            det, n_valid = fn(dev_variables, jnp.asarray(img))
             det = np.asarray(jax.device_get(det))
             n_valid = np.asarray(jax.device_get(n_valid))
             t_inf += time.perf_counter() - t0
