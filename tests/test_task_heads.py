@@ -79,3 +79,46 @@ def test_obb_head():
     import math
     a = np.asarray(angles[0])
     assert a.min() >= -math.pi / 4 - 1e-5 and a.max() <= 3 * math.pi / 4 + 1e-5
+
+
+def test_probiou_and_rotated_nms():
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.ops.boxes import probiou
+    from yolo_sod_tpu.ops.nms import nms_rotated
+
+    b = jnp.array([[50.0, 50, 20, 10, 0.3]])
+    assert float(probiou(b, b)[0]) > 0.98          # self-IoU ~1
+    far = jnp.array([[200.0, 200, 20, 10, 0.3]])
+    assert float(probiou(b, far)[0]) < 0.05
+    rot = jnp.array([[50.0, 50, 20, 10, 0.3 + 1.2]])
+    assert float(probiou(b, rot)[0]) < float(probiou(b, b)[0])
+
+    obbs = jnp.array([[50.0, 50, 20, 10, 0.3],
+                      [51.0, 50, 20, 10, 0.3],     # duplicate -> suppressed
+                      [200.0, 200, 20, 10, 0.0]])
+    keep, n = nms_rotated(obbs, jnp.array([0.9, 0.8, 0.7]), iou_thres=0.45)
+    assert bool(keep[0]) and not bool(keep[1]) and bool(keep[2])
+    assert int(n) == 2
+
+
+def test_obb_loss():
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.nn.tasks import DetectionModel
+    from yolo_sod_tpu.utils.loss_tasks import OBBLoss
+
+    m = DetectionModel(_graph([[0, 1, 2], 1, "OBB", ["nc", 1]]))
+    m.init(imgsz=32)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)), jnp.float32)
+    out, _ = m.apply(m.variables, x, train=True, mutable=True)
+    M = 3
+    batch = {
+        "cls": jnp.zeros((2, M)),
+        "bboxes": jnp.asarray(np.clip(np.random.default_rng(1).random((2, M, 4)) * 0.4 + 0.3, 0, 1)),
+        "mask_gt": jnp.ones((2, M)),
+        "angles": jnp.asarray(np.random.default_rng(2).uniform(-0.5, 0.5, (2, M)), jnp.float32),
+    }
+    crit = OBBLoss(nc=3, strides=m.graph.detect_strides, max_fg=16)
+    total, items = crit(out, batch)
+    assert np.isfinite(float(total)) and items.shape == (4,)

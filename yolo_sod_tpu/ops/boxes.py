@@ -144,3 +144,48 @@ def clip_boxes(boxes, shape):
     x2 = jnp.clip(boxes[..., 2:3], 0, w)
     y2 = jnp.clip(boxes[..., 3:4], 0, h)
     return jnp.concatenate([x1, y1, x2, y2], axis=-1)
+
+
+def _obb_to_cov(obb, eps: float = 1e-7):
+    """(..., 5) [cx, cy, w, h, angle] -> Gaussian covariance terms (a, b, c)."""
+    w = obb[..., 2]
+    h = obb[..., 3]
+    t = obb[..., 4]
+    cos = jnp.cos(t)
+    sin = jnp.sin(t)
+    w2 = jnp.clip(w, eps, None) ** 2 / 12.0
+    h2 = jnp.clip(h, eps, None) ** 2 / 12.0
+    a = w2 * cos ** 2 + h2 * sin ** 2
+    b = w2 * sin ** 2 + h2 * cos ** 2
+    c = (w2 - h2) * cos * sin
+    return a, b, c
+
+
+def probiou(obb1, obb2, eps: float = 1e-7):
+    """Probabilistic IoU of rotated boxes via Gaussian Bhattacharyya distance
+    (reference utils/metrics.py probiou, used by v8OBBLoss / rotated NMS).
+
+    Args:
+        obb1, obb2: (..., 5) [cx, cy, w, h, angle(rad)], broadcastable.
+
+    Returns:
+        (...,) probiou in [0, 1].
+    """
+    x1, y1 = obb1[..., 0], obb1[..., 1]
+    x2, y2 = obb2[..., 0], obb2[..., 1]
+    a1, b1, c1 = _obb_to_cov(obb1, eps)
+    a2, b2, c2 = _obb_to_cov(obb2, eps)
+    am = (a1 + a2) / 2
+    bm = (b1 + b2) / 2
+    cm = (c1 + c2) / 2
+    dx = x1 - x2
+    dy = y1 - y2
+    denom = am * bm - cm ** 2
+    denom = jnp.clip(denom, eps, None)
+    t1 = (am * dy ** 2 + bm * dx ** 2 - 2 * cm * dx * dy) / denom / 8.0
+    det1 = jnp.clip(a1 * b1 - c1 ** 2, eps, None)
+    det2 = jnp.clip(a2 * b2 - c2 ** 2, eps, None)
+    t3 = 0.5 * jnp.log(jnp.clip(denom / jnp.sqrt(det1 * det2), eps, None))
+    bd = jnp.clip(t1 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    return 1.0 - hd

@@ -218,3 +218,29 @@ def topk_postprocess(preds, max_det: int = 300, nc: int | None = None):
     det = jnp.concatenate([xywh2xyxy(box), conf[..., None], cls[..., None]], axis=-1)
     n_valid = jnp.full((B,), k, jnp.int32)
     return det, n_valid
+
+
+def nms_rotated(obbs, scores, iou_thres: float = 0.45, max_det: int = 300):
+    """Greedy rotated NMS over (N, 5) [cx, cy, w, h, angle] candidates sorted
+    by descending score, via the Cluster-NMS iteration on the ProbIoU matrix
+    (reference utils/ops.py nms_rotated + torchvision fallback).
+
+    Returns (keep (N,) bool, n_valid int32) — fixed shapes.
+    """
+    from yolo_sod_tpu.ops.boxes import probiou
+
+    n = obbs.shape[0]
+    iou = probiou(obbs[:, None, :], obbs[None, :, :])
+    tri = jnp.triu(jnp.ones((n, n), bool), k=1)
+    A = jnp.where(tri, iou, 0.0)
+    valid = scores > 0
+
+    def body(state):
+        keep_prev, _ = state
+        sup = (A * keep_prev[:, None].astype(A.dtype)).max(axis=0)
+        return valid & (sup <= iou_thres), keep_prev
+
+    keep, _ = jax.lax.while_loop(lambda s: jnp.any(s[0] != s[1]), body,
+                                 (valid, jnp.zeros_like(valid)))
+    n_valid = jnp.minimum(keep.sum(), max_det).astype(jnp.int32)
+    return keep, n_valid

@@ -184,3 +184,64 @@ class PoseLoss(DetectionLoss):
         total = total_det + (self.pose_gain * loss_kpt +
                              self.kobj_gain * loss_kobj) * B
         return total, jnp.concatenate([items, jnp.array([loss_kpt])])
+
+
+class OBBLoss(DetectionLoss):
+    """Oriented-box criterion (reference v8OBBLoss): the box term becomes
+    1 - ProbIoU over [decoded xywh + predicted angle] vs [gt xywh + gt angle]
+    on foreground anchors; assignment stays axis-aligned TAL over the
+    bounding rectangles (the reference pre-assigns the same way).
+
+    preds = (det_maps, angle_maps); batch extras: 'angles' (B, M) radians.
+    """
+
+    def __init__(self, *args, max_fg: int = 256, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_fg = max_fg
+
+    def __call__(self, preds, batch):
+        from yolo_sod_tpu.ops.boxes import dist2bbox, probiou
+
+        feats, angle_maps = preds
+        total_det, items = super().__call__(feats, batch)
+
+        B = feats[0].shape[0]
+        angles = jnp.concatenate([a.reshape(B, -1) for a in angle_maps], 1)
+
+        hw = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(hw, self.strides)
+        img_h = feats[0].shape[1] * self.strides[0]
+        img_w = feats[0].shape[2] * self.strides[0]
+        scale = jnp.array([img_w, img_h, img_w, img_h], jnp.float32)
+        gt_bboxes = xywh2xyxy(batch["bboxes"].astype(jnp.float32) * scale)
+        gt_labels = batch["cls"].astype(jnp.float32)[..., None]
+        mask_gt = batch["mask_gt"].astype(jnp.float32)[..., None]
+        x = jnp.concatenate([f.reshape(B, -1, self.no) for f in feats], 1)
+        pred_scores = jax.nn.sigmoid(x[..., self.reg_max * 4:].astype(jnp.float32))
+        pd = x[..., : self.reg_max * 4].reshape(B, -1, 4, self.reg_max)
+        proj = jnp.arange(self.reg_max, dtype=jnp.float32)
+        pred_ltrb = jnp.einsum("bafc,c->baf", jax.nn.softmax(pd, -1), proj)
+        pred_bboxes = dist2bbox(pred_ltrb, anchor_points[None], xywh=True)
+        _, target_bboxes, target_scores, fg_mask, target_gt_idx = self.assigner(
+            jax.lax.stop_gradient(pred_scores),
+            jax.lax.stop_gradient(dist2bbox(pred_ltrb, anchor_points[None],
+                                            xywh=False)) * stride_tensor[None],
+            anchor_points * stride_tensor, gt_labels, gt_bboxes * mask_gt, mask_gt)
+
+        idx, w = _gather_foreground(fg_mask, target_scores, self.max_fg)
+        sel_angle = jnp.take_along_axis(angles, idx, 1)
+        sel_gt = jnp.take_along_axis(target_gt_idx, idx, 1)
+        sel_pred = jnp.take_along_axis(pred_bboxes * stride_tensor[None],
+                                       idx[..., None], 1)
+        # target xywh (pixels) + gt angle
+        tb = jnp.take_along_axis(target_bboxes, idx[..., None], 1)
+        t_xywh = jnp.concatenate([(tb[..., :2] + tb[..., 2:]) / 2,
+                                  tb[..., 2:] - tb[..., :2]], -1)
+        gt_angle = jnp.take_along_axis(batch["angles"].astype(jnp.float32),
+                                       sel_gt, 1)
+        p_obb = jnp.concatenate([sel_pred, sel_angle[..., None]], -1)
+        t_obb = jnp.concatenate([t_xywh, gt_angle[..., None]], -1)
+        piou = probiou(p_obb, t_obb)
+        loss_obb = (((1.0 - piou) * w).sum()) / jnp.clip(w.sum(), 1.0, None)
+        total = total_det + loss_obb * B
+        return total, jnp.concatenate([items, jnp.array([loss_obb])])
