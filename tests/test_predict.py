@@ -61,3 +61,21 @@ def test_results_api(model):
     assert isinstance(j, list)
     assert r.verbose()
     assert r.boxes.cpu() is r.boxes
+
+
+def test_tta_augment_predict(model):
+    """TTA concatenates three de-scaled passes; boxes stay in-frame."""
+    import jax.numpy as jnp
+
+    m = model.model
+    x = jnp.asarray((np.random.rand(1, 64, 64, 3)).astype(np.float32))
+    base = m.predict(m.variables, x)
+    tta = m.predict_augment(m.variables, x)
+    assert tta.shape[-1] == base.shape[-1]
+    assert tta.shape[1] > base.shape[1] * 1.5     # ~3 passes minus clipped tails
+    # de-scaled centers remain within the original frame (pad a pixel)
+    assert float(tta[..., 0].max()) <= 65 and float(tta[..., 1].max()) <= 65
+    # facade path
+    img = (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+    results = model.predict(img, imgsz=64, conf=0.01, augment=True, verbose=False)
+    assert len(results) == 1

@@ -102,12 +102,15 @@ class DetectionPredictor:
         if key not in self._fns:
             model, variables, args = self.model, self._variables, self.args
 
+            augment = bool(getattr(args, "augment", False))
+
             @jax.jit
             def fn(x):
                 # uint8 in, normalize on device: 4x less host->device traffic
                 # than fp32 (north-star: whole pipeline in one graph).
                 x = x.astype(jnp.bfloat16 if args.half else jnp.float32) / 255.0
-                preds = model.predict(variables, x)
+                preds = model.predict_augment(variables, x) if augment \
+                    else model.predict(variables, x)
                 return non_max_suppression(
                     preds, conf_thres=args.conf, iou_thres=args.iou,
                     agnostic=args.agnostic_nms, max_det=args.max_det,

@@ -418,6 +418,55 @@ class DetectionModel:
             out = out[0]
         return decode_detections(out, self.graph.detect_strides, self.nc)
 
+    def predict_augment(self, variables, x):
+        """TTA inference (reference tasks.py:381-418): 3 passes at scales
+        [1, 0.83, 0.67] with an lr-flip on the middle one; predictions
+        de-scaled/de-flipped back and concatenated along the anchor axis.
+        All sizes are static, so the whole TTA ensemble compiles into one
+        graph. Tail clipping (reference _clip_augmented) drops the coarsest
+        level of the up-scaled pass and the finest level of the down-scaled
+        pass, matching the reference's P-level trust heuristic.
+        """
+        B, H, W, C = x.shape
+        gs = int(self.stride.max())
+        outs = []
+        for si, flip in ((1.0, False), (0.83, True), (0.67, False)):
+            h = int(math.ceil(H * si / gs) * gs)
+            w = int(math.ceil(W * si / gs) * gs)
+            xi = x[:, :, ::-1] if flip else x
+            if (h, w) != (H, W):
+                xi = jax.image.resize(xi, (B, h, w, C), method="bilinear")
+            p = self.predict(variables, xi)            # (B, A_i, 4+nc)
+            # de-scale boxes back to the original resolution
+            sx, sy = W / w, H / h
+            boxes = p[..., :4] * jnp.array([sx, sy, sx, sy], p.dtype)
+            if flip:
+                boxes = boxes.at[..., 0].set(W - boxes[..., 0])
+            outs.append(jnp.concatenate([boxes, p[..., 4:]], -1))
+
+        # Tail clipping: drop the last (coarsest) level from the full-scale
+        # pass and the first (finest) level from the most-downscaled pass.
+        def level_sizes(scale_h, scale_w):
+            return [int(math.ceil(H * scale_h / s) * math.ceil(W * scale_w / s))
+                    for s in self.graph.detect_strides]
+
+        def trim(p, sizes, drop_first=False, drop_last=False):
+            if drop_last:
+                return p[:, : sum(sizes[:-1])]
+            if drop_first:
+                return p[:, sizes[0]:]
+            return p
+
+        s0 = [int(math.ceil(H / s)) * int(math.ceil(W / s))
+              for s in self.graph.detect_strides]
+        outs[0] = trim(outs[0], s0, drop_last=True)
+        h2 = int(math.ceil(H * 0.67 / gs) * gs)
+        w2 = int(math.ceil(W * 0.67 / gs) * gs)
+        s2 = [int(math.ceil(h2 / s)) * int(math.ceil(w2 / s))
+              for s in self.graph.detect_strides]
+        outs[-1] = trim(outs[-1], s2, drop_first=True)
+        return jnp.concatenate(outs, axis=1)
+
     def info(self, imgsz: int = 640):
         n = self.num_params()
         LOGGER.info(f"{colorstr('model:')} {len(self.graph.specs)} layers, {n:,} parameters")
