@@ -278,6 +278,8 @@ class DetectionTrainer:
                 self.train_loader.reset()
 
             self.tloss = None
+            self._seen = 0
+            device_items: list = []
             pbar = TQDM(enumerate(self.train_loader), total=self.nb,
                         desc=f"epoch {epoch + 1}/{args.epochs}")
             for i, batch in pbar:
@@ -296,12 +298,23 @@ class DetectionTrainer:
                 if self.mesh is not None:
                     dev_batch = shard_batch(dev_batch, self.mesh)
                 self.state, out = self.train_step(self.state, dev_batch)
-                items = np.asarray(jax.device_get(out["items"]))
-                self.tloss = items if self.tloss is None else \
-                    (self.tloss * i + items) / (i + 1)
-                if hasattr(pbar, "set_postfix_str"):
-                    pbar.set_postfix_str(
-                        f"box {self.tloss[0]:.3f} cls {self.tloss[1]:.3f} dfl {self.tloss[2]:.3f}")
+                # Keep the dispatch queue full: loss items stay on device and
+                # only sync to the host every few steps / at epoch end.
+                device_items.append(out["items"])
+                if i % 8 == 7 or i == self.nb - 1:
+                    fetched = np.stack([np.asarray(jax.device_get(d))
+                                        for d in device_items])
+                    device_items.clear()
+                    mean = fetched.mean(0)
+                    n_new = fetched.shape[0]
+                    self.tloss = mean if self.tloss is None else \
+                        (self.tloss * self._seen + mean * n_new) / (self._seen + n_new)
+                    self._seen += n_new
+                    if hasattr(pbar, "set_postfix_str"):
+                        self.tloss = np.asarray(self.tloss)
+                        pbar.set_postfix_str(
+                            f"box {self.tloss[0]:.3f} cls {self.tloss[1]:.3f} "
+                            f"dfl {self.tloss[2]:.3f}")
                 self.run_callbacks("on_train_batch_end")
             self.run_callbacks("on_train_epoch_end")
 
