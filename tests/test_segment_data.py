@@ -81,3 +81,30 @@ def test_segment_loss_via_batch(seg_yaml):
     dev = {k: jnp.asarray(batch[k]) for k in ("cls", "bboxes", "mask_gt", "masks")}
     total, items = crit(out, dev)
     assert np.isfinite(float(total)) and items.shape == (4,)
+
+
+def test_segment_mosaic_polygon_warp(seg_yaml):
+    """Polygons now warp through mosaic + affine: masks align with boxes."""
+    from yolo_sod_tpu.data import YOLODataset, check_det_dataset
+
+    data = check_det_dataset(seg_yaml)
+    ds = YOLODataset(data["train"], imgsz=64, augment=True,
+                     hyp={"mosaic": 1.0, "degrees": 10.0, "translate": 0.1,
+                          "scale": 0.5, "fliplr": 0.5}, nc=1, task="segment")
+    for i in range(len(ds)):
+        item = ds[i]
+        n = len(item["labels"])
+        assert item["masks"].shape[0] == n, "mask/label count mismatch"
+        for j in range(n):
+            mask = item["masks"][j]
+            if mask.sum() == 0:
+                continue  # fully clipped instance
+            ys, xs = np.nonzero(mask)
+            # mask extent must sit inside the (slightly padded) label box
+            cls, cx, cy, w, h = item["labels"][j]
+            x1 = (cx - w / 2) * 64 / 4 - 1.5
+            x2 = (cx + w / 2) * 64 / 4 + 1.5
+            y1 = (cy - h / 2) * 64 / 4 - 1.5
+            y2 = (cy + h / 2) * 64 / 4 + 1.5
+            assert xs.min() >= x1 and xs.max() <= x2
+            assert ys.min() >= y1 and ys.max() <= y2

@@ -80,12 +80,15 @@ def random_perspective(img: np.ndarray, labels_xyxy: np.ndarray,
                        rng: np.random.Generator, degrees: float = 0.0,
                        translate: float = 0.1, scale: float = 0.5,
                        shear: float = 0.0, perspective: float = 0.0,
-                       border=(0, 0)):
-    """Random affine/perspective warp of image + xyxy labels.
+                       border=(0, 0), segments=None):
+    """Random affine/perspective warp of image + xyxy labels (+ polygons).
 
     `border` is negative half the mosaic margin: output is
     (H + 2*border[0], W + 2*border[1]) — how mosaic's 2x canvas comes back to
-    imgsz (reference random_perspective contract).
+    imgsz (reference random_perspective contract). When `segments` (list of
+    (n, 2) pixel polygons parallel to the label rows) is given, polygons warp
+    through the same matrix, boxes recompute FROM the warped polygons, and
+    the call returns (img, labels, segments).
     """
     height = img.shape[0] + border[0] * 2
     width = img.shape[1] + border[1] * 2
@@ -119,6 +122,24 @@ def random_perspective(img: np.ndarray, labels_xyxy: np.ndarray,
             img = cv2.warpAffine(img, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
 
     n = len(labels_xyxy)
+    if n and segments is not None:
+        warped_segs = []
+        new = np.zeros((n, 4), np.float32)
+        for i, seg in enumerate(segments):
+            pts = np.ones((len(seg), 3))
+            pts[:, :2] = seg
+            pts = pts @ M.T
+            pts = pts[:, :2] / pts[:, 2:3] if perspective else pts[:, :2]
+            pts[:, 0] = pts[:, 0].clip(0, width)
+            pts[:, 1] = pts[:, 1].clip(0, height)
+            warped_segs.append(pts.astype(np.float32))
+            new[i] = [pts[:, 0].min(), pts[:, 1].min(),
+                      pts[:, 0].max(), pts[:, 1].max()]
+        keep = box_candidates(labels_xyxy[:, 1:5].T * s, new.T, area_thr=0.01)
+        labels_xyxy = labels_xyxy[keep]
+        labels_xyxy[:, 1:5] = new[keep]
+        segments = [sg for sg, k in zip(warped_segs, keep) if k]
+        return img, labels_xyxy, segments
     if n:
         xy = np.ones((n * 4, 3))
         xy[:, :2] = labels_xyxy[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)  # 4 corners
@@ -132,6 +153,8 @@ def random_perspective(img: np.ndarray, labels_xyxy: np.ndarray,
         keep = box_candidates(labels_xyxy[:, 1:5].T * s, new.T)
         labels_xyxy = labels_xyxy[keep]
         labels_xyxy[:, 1:5] = new[keep]
+    if segments is not None:
+        return img, labels_xyxy, list(segments)
     return img, labels_xyxy
 
 

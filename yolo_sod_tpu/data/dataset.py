@@ -56,12 +56,9 @@ class YOLODataset:
             from yolo_sod_tpu.data.utils import load_label_segments
 
             self.segments = [load_label_segments(lf) for lf in self.label_files]
-            # Polygon warping through mosaic/affine is not implemented yet:
-            # segmentation trains on the letterbox path.
-            for k in ("mosaic", "mixup", "copy_paste", "fliplr", "flipud",
-                      "degrees", "translate", "shear", "perspective"):
-                if isinstance(self.hyp, dict):
-                    self.hyp[k] = 0.0
+            # copy-paste operates on boxes only; disable for polygons.
+            if isinstance(self.hyp, dict):
+                self.hyp["copy_paste"] = 0.0
         if single_cls:
             for lb in self.labels:
                 lb[:, 0] = 0
@@ -108,6 +105,7 @@ class YOLODataset:
         indices = [index] + [int(rng.integers(0, len(self))) for _ in range(3)]
         img4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
         labels4 = []
+        segs4 = []
         for i, idx in enumerate(indices):
             img, _ = self.load_image(idx)
             h, w = img.shape[:2]
@@ -127,8 +125,14 @@ class YOLODataset:
             padw, padh = x1a - x1b, y1a - y1b
             lb = xywhn2xyxy(self.labels[idx], w, h, padw, padh)
             labels4.append(lb)
+            if self.segments is not None:
+                for _, xy in self.segments[idx]:
+                    segs4.append(xy * np.array([w, h], np.float32)
+                                 + np.array([padw, padh], np.float32))
         labels4 = np.concatenate(labels4, 0) if labels4 else np.zeros((0, 5), np.float32)
         labels4[:, 1:] = labels4[:, 1:].clip(0, 2 * s)
+        if self.segments is not None:
+            return img4, labels4, segs4
         return img4, labels4
 
     # -- item -----------------------------------------------------------------
@@ -136,23 +140,26 @@ class YOLODataset:
         imgsz = self.imgsz
         rng = self._rng(index)
         ratio_pad = (1.0, (0.0, 0.0))
+        segs_px = None
+        aff = dict(degrees=self._hyp("degrees"), translate=self._hyp("translate", 0.1),
+                   scale=self._hyp("scale", 0.5), shear=self._hyp("shear"),
+                   perspective=self._hyp("perspective"))
         if self.augment and rng.random() < self._hyp("mosaic"):
-            img, labels_xyxy = self._mosaic4(index, rng)
             border = (-imgsz // 2, -imgsz // 2)
-            img, labels_xyxy = random_perspective(
-                img, labels_xyxy, rng,
-                degrees=self._hyp("degrees"), translate=self._hyp("translate", 0.1),
-                scale=self._hyp("scale", 0.5), shear=self._hyp("shear"),
-                perspective=self._hyp("perspective"), border=border)
-            if rng.random() < self._hyp("mixup"):
-                idx2 = int(rng.integers(0, len(self)))
-                img2, labels2 = self._mosaic4(idx2, rng)
-                img2, labels2 = random_perspective(
-                    img2, labels2, rng,
-                    degrees=self._hyp("degrees"), translate=self._hyp("translate", 0.1),
-                    scale=self._hyp("scale", 0.5), shear=self._hyp("shear"),
-                    perspective=self._hyp("perspective"), border=border)
-                img, labels_xyxy = mixup(img, labels_xyxy, img2, labels2, rng)
+            if self.segments is not None:
+                img, labels_xyxy, segs_px = self._mosaic4(index, rng)
+                img, labels_xyxy, segs_px = random_perspective(
+                    img, labels_xyxy, rng, border=border, segments=segs_px, **aff)
+            else:
+                img, labels_xyxy = self._mosaic4(index, rng)
+                img, labels_xyxy = random_perspective(
+                    img, labels_xyxy, rng, border=border, **aff)
+                if rng.random() < self._hyp("mixup"):
+                    idx2 = int(rng.integers(0, len(self)))
+                    img2, labels2 = self._mosaic4(idx2, rng)
+                    img2, labels2 = random_perspective(
+                        img2, labels2, rng, border=border, **aff)
+                    img, labels_xyxy = mixup(img, labels_xyxy, img2, labels2, rng)
             ori_shape = (imgsz, imgsz)
         else:
             img, ori_shape = self.load_image(index)
@@ -160,13 +167,18 @@ class YOLODataset:
             ratio_pad = (r, (dw, dh))
             h, w = ori_shape
             labels_xyxy = xywhn2xyxy(self.labels[index], round(w * r), round(h * r), dw, dh)
-            if self.augment and self.task != "segment":
+            if self.segments is not None:
+                scale_xy = np.array([round(w * r), round(h * r)], np.float32)
+                pad_xy = np.array([dw, dh], np.float32)
+                segs_px = [xy * scale_xy + pad_xy for _, xy in self.segments[index]]
+            if self.augment:
                 img = np.ascontiguousarray(img)
-                img, labels_xyxy = random_perspective(
-                    img, labels_xyxy, rng,
-                    degrees=self._hyp("degrees"), translate=self._hyp("translate", 0.1),
-                    scale=self._hyp("scale", 0.5), shear=self._hyp("shear"),
-                    perspective=self._hyp("perspective"))
+                if self.segments is not None:
+                    img, labels_xyxy, segs_px = random_perspective(
+                        img, labels_xyxy, rng, segments=segs_px, **aff)
+                else:
+                    img, labels_xyxy = random_perspective(
+                        img, labels_xyxy, rng, **aff)
 
         if self.augment:
             img = np.ascontiguousarray(img)
@@ -180,12 +192,18 @@ class YOLODataset:
                     y1 = labels_xyxy[:, 2].copy()
                     labels_xyxy[:, 2] = img.shape[0] - labels_xyxy[:, 4]
                     labels_xyxy[:, 4] = img.shape[0] - y1
+                if segs_px is not None:
+                    for sg in segs_px:
+                        sg[:, 1] = img.shape[0] - sg[:, 1]
             if rng.random() < self._hyp("fliplr", 0.5):
                 img = np.fliplr(img)
                 if len(labels_xyxy):
                     x1 = labels_xyxy[:, 1].copy()
                     labels_xyxy[:, 1] = img.shape[1] - labels_xyxy[:, 3]
                     labels_xyxy[:, 3] = img.shape[1] - x1
+                if segs_px is not None:
+                    for sg in segs_px:
+                        sg[:, 0] = img.shape[1] - sg[:, 0]
 
         h, w = img.shape[:2]
         labels = xyxy2xywhn(labels_xyxy, w, h)
@@ -195,17 +213,12 @@ class YOLODataset:
             keep_rows = (labels[:, 3] > 1e-4) & (labels[:, 4] > 1e-4)
             labels = labels[keep_rows]
         item_masks = None
-        if self.task == "segment":
-            from yolo_sod_tpu.data.utils import polygons_to_masks
+        if segs_px is not None:
+            from yolo_sod_tpu.data.utils import pixel_polys_to_masks
 
-            segs = self.segments[index]
-            r, (dw, dh) = ratio_pad
-            h0, w0 = ori_shape
-            r0 = self.imgsz / max(h0, w0)
-            rx = round(w0 * r0) * r
-            ry = round(h0 * r0) * r
-            item_masks = polygons_to_masks(segs, self.imgsz, (rx, ry), (dw, dh),
-                                           self.mask_ratio)
+            if keep_rows is not None and len(segs_px) == len(keep_rows):
+                segs_px = [sg for sg, k in zip(segs_px, keep_rows) if k]
+            item_masks = pixel_polys_to_masks(segs_px, self.imgsz, self.mask_ratio)
         return {
             "img": np.ascontiguousarray(img),
             "labels": labels.astype(np.float32),

@@ -160,3 +160,15 @@ def polygons_to_masks(segments, imgsz: int, ratio, pad, mask_ratio: int = 4) -> 
         pts[:, 1] = (pts[:, 1] * r[1] + dh) / mask_ratio
         cv2.fillPoly(masks[i], [pts.astype(np.int32)], 1.0)
     return masks
+
+
+def pixel_polys_to_masks(polys, imgsz: int, mask_ratio: int = 4) -> np.ndarray:
+    """Rasterize pixel-space polygons (final-image coords) into per-instance
+    masks at imgsz/mask_ratio resolution."""
+    import cv2
+
+    m = imgsz // mask_ratio
+    masks = np.zeros((len(polys), m, m), np.float32)
+    for i, pts in enumerate(polys):
+        cv2.fillPoly(masks[i], [(pts / mask_ratio).astype(np.int32)], 1.0)
+    return masks
