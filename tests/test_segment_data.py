@@ -108,3 +108,47 @@ def test_segment_mosaic_polygon_warp(seg_yaml):
             y2 = (cy + h / 2) * 64 / 4 + 1.5
             assert xs.min() >= x1 and xs.max() <= x2
             assert ys.min() >= y1 and ys.max() <= y2
+
+
+def test_segmentation_validator_on_trained_synthetic(seg_yaml):
+    """SegmentationValidator produces box + mask mAP on a (briefly) trained
+    tiny segment model; metrics structure and bounds hold."""
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+    from yolo_sod_tpu.engine.validator_tasks import SegmentationValidator, mask_iou
+    from yolo_sod_tpu.nn.tasks import DetectionModel
+
+    # mask_iou sanity
+    gt = np.zeros((1, 8, 8)); gt[0, 2:6, 2:6] = 1
+    pred = np.zeros((2, 8, 8)); pred[0, 2:6, 2:6] = 1; pred[1, 0:2, 0:2] = 1
+    ious = mask_iou(pred, gt)          # -> (Ngt, Np)
+    assert ious.shape == (1, 2)
+    assert ious[0, 0] == 1.0 and ious[0, 1] == 0.0
+
+    graph = {"nc": 1,
+             "backbone": [[-1, 1, "Conv", [16, 3, 2]],
+                          [-1, 1, "Conv", [32, 3, 4]],
+                          [-1, 1, "Conv", [64, 3, 2]]],
+             "head": [[[1, 2], 1, "Segment", ["nc", 8, 32]]]}
+    m = DetectionModel(graph)
+    m.init(imgsz=64)
+    vargs = get_cfg(DEFAULT_CFG_DICT, {"data": str(seg_yaml), "imgsz": 64,
+                                       "batch": 2, "conf": 0.001, "iou": 0.7,
+                                       "mode": "val", "half": False})
+    metrics = SegmentationValidator(args=vargs)(model=m)
+    r = metrics.mean_results()
+    assert len(r) == 6
+    assert all(0.0 <= v <= 1.0 for v in r)
+
+
+def test_oks():
+    from yolo_sod_tpu.engine.validator_tasks import oks
+
+    gt = np.zeros((1, 3, 3)); gt[0, :, :2] = [[10, 10], [20, 20], [30, 30]]
+    gt[0, :, 2] = 1
+    pred_same = gt[None, 0, :, :2][None][0]
+    sim = oks(gt, gt[:, :, :2], np.array([400.0]))
+    assert sim.shape == (1, 1) and sim[0, 0] > 0.99
+    far = gt[:, :, :2] + 50
+    assert oks(gt, far, np.array([400.0]))[0, 0] < 0.2

@@ -1,0 +1,174 @@
+"""Segmentation / pose validators: mask mAP and OKS keypoint mAP.
+
+Analogs of reference models/yolo/segment/val.py and pose/val.py: the forward,
+decode, NMS, and per-detection mask assembly run in ONE jitted graph (the NMS
+returns kept-anchor indices so coefficients/keypoints gather on device); the
+host matches masks by mask-IoU and keypoints by OKS over the 10 thresholds
+and feeds the same ap_per_class machinery.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_sod_tpu.data import build_dataloader, build_yolo_dataset, check_det_dataset
+from yolo_sod_tpu.data.augment import xywhn2xyxy
+from yolo_sod_tpu.engine.validator import DetectionValidator
+from yolo_sod_tpu.ops.decode import decode_detections
+from yolo_sod_tpu.ops.nms import non_max_suppression
+from yolo_sod_tpu.utils import LOGGER, colorstr
+from yolo_sod_tpu.utils.metrics import (DetMetrics, Metric, ap_per_class, box_iou,
+                                        match_predictions)
+
+
+def mask_iou(pred: np.ndarray, gt: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """(Ngt, H, W) x (Np, H, W) binary masks -> (Ngt, Np) IoU."""
+    g = gt.reshape(gt.shape[0], -1).astype(np.float32)
+    p = pred.reshape(pred.shape[0], -1).astype(np.float32)
+    inter = g @ p.T
+    union = g.sum(1)[:, None] + p.sum(1)[None] - inter
+    return inter / (union + eps)
+
+
+class SegmentMetrics(DetMetrics):
+    """Box + mask metrics (reference metrics.py SegmentMetrics)."""
+
+    def __init__(self, names=None):
+        super().__init__(names=names)
+        self.seg = Metric()
+        self.seg.nc = len(self.names)
+
+    def process(self, tp, tp_m, conf, pred_cls, target_cls):
+        super().process(tp, conf, pred_cls, target_cls)
+        self.seg.nc = len(self.names)
+        self.seg.update(ap_per_class(tp_m, conf, pred_cls, target_cls))
+
+    @property
+    def keys(self):
+        return super().keys + ["metrics/mAP50(M)", "metrics/mAP50-95(M)"]
+
+    def mean_results(self):
+        return super().mean_results() + [self.seg.map50, self.seg.map]
+
+
+class SegmentationValidator(DetectionValidator):
+    """Evaluate a Segment-head model: box mAP + mask mAP."""
+
+    def _build_fn(self, model, conf: float, iou: float, max_det: int):
+        if self._jit_fn is None:
+            half = self.args.half
+
+            @jax.jit
+            def fn(variables, x):
+                x = x.astype(jnp.bfloat16 if half else jnp.float32)
+                det_maps, coeff_maps, protos = model.net.apply(variables, x,
+                                                               train=False)
+                preds = decode_detections(det_maps, model.graph.detect_strides,
+                                          model.nc)
+                det, n, kept = non_max_suppression(
+                    preds, conf_thres=conf, iou_thres=iou, multi_label=True,
+                    max_det=max_det, return_idx=True)
+                B = x.shape[0]
+                nm = protos.shape[-1]
+                coeffs = jnp.concatenate(
+                    [c.reshape(B, -1, nm) for c in coeff_maps], 1)
+                safe = jnp.clip(kept, 0, coeffs.shape[1] - 1)
+                sel = jnp.take_along_axis(coeffs, safe[..., None], 1)
+                masks = jax.nn.sigmoid(jnp.einsum(
+                    "bdn,bhwn->bdhw", sel.astype(jnp.float32),
+                    protos.astype(jnp.float32))) > 0.5
+                return det, n, masks
+            self._jit_fn = fn
+        return self._jit_fn
+
+    def __call__(self, model=None, variables=None, data=None):
+        args = self.args
+        variables = variables if variables is not None else model.variables
+        if data is None:
+            data = check_det_dataset(args.data)
+        names = data.get("names", {})
+        if self.dataloader is None:
+            cfg = dict(vars(args))
+            dataset = build_yolo_dataset(cfg, data["val"], args.batch, data,
+                                         mode="val", stride=int(max(model.stride)))
+            dataset.task = "segment"
+            from yolo_sod_tpu.data.utils import load_label_segments
+
+            dataset.segments = [load_label_segments(lf)
+                                for lf in dataset.label_files]
+            self.dataloader = build_dataloader(dataset, args.batch, shuffle=False)
+
+        conf = args.conf if args.conf not in (None, 0) else 0.001
+        fn = self._build_fn(model, conf, args.iou, args.max_det)
+        imgsz = args.imgsz
+
+        metrics = SegmentMetrics(names=names)
+        stats = {"tp": [], "tp_m": [], "conf": [], "pred_cls": [], "target_cls": []}
+        B = self.dataloader.batch_size
+        n_images = 0
+        for batch in self.dataloader:
+            img = batch["img"]
+            nb = img.shape[0]
+            if nb < B:
+                img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
+            det, n_valid, masks = fn(variables, jnp.asarray(img))
+            det = np.asarray(jax.device_get(det))
+            n_valid = np.asarray(jax.device_get(n_valid))
+            masks = np.asarray(jax.device_get(masks))
+            for bi in range(nb):
+                n_images += 1
+                d = det[bi][: n_valid[bi]]
+                pm = masks[bi][: n_valid[bi]]
+                m = batch["mask_gt"][bi] > 0
+                gt_cls = batch["cls"][bi][m]
+                gt_xywhn = np.concatenate([gt_cls[:, None],
+                                           batch["bboxes"][bi][m]], axis=1)
+                gt_xyxy = xywhn2xyxy(gt_xywhn, imgsz, imgsz)[:, 1:]
+                gt_masks = batch["masks"][bi][m]
+                # Downsample pred masks to the gt mask resolution if needed.
+                if pm.shape[1:] != gt_masks.shape[1:]:
+                    sy = pm.shape[1] // gt_masks.shape[1]
+                    pm = pm[:, ::sy, ::sy]
+                stats["target_cls"].append(gt_cls)
+                if len(d) == 0:
+                    continue
+                iou_b = box_iou(gt_xyxy, d[:, :4])
+                iou_m = mask_iou(pm, gt_masks)
+                stats["tp"].append(match_predictions(d[:, 5], gt_cls, iou_b))
+                stats["tp_m"].append(match_predictions(d[:, 5], gt_cls, iou_m))
+                stats["conf"].append(d[:, 4])
+                stats["pred_cls"].append(d[:, 5])
+
+        if stats["tp"]:
+            metrics.process(np.concatenate(stats["tp"]),
+                            np.concatenate(stats["tp_m"]),
+                            np.concatenate(stats["conf"]),
+                            np.concatenate(stats["pred_cls"]),
+                            np.concatenate(stats["target_cls"]))
+        r = metrics.mean_results()
+        LOGGER.info(f"{colorstr('val(seg):')} {n_images} images  "
+                    f"box mAP50={r[2]:.4f} mAP={r[3]:.4f}  "
+                    f"mask mAP50={r[4]:.4f} mAP={r[5]:.4f}")
+        return metrics
+
+
+def oks(gt_kpts: np.ndarray, pred_kpts: np.ndarray, areas: np.ndarray,
+        sigma: float = 0.05, eps: float = 1e-7) -> np.ndarray:
+    """Object keypoint similarity: (Ngt, K, 3) x (Np, K, 2+) -> (Ngt, Np)."""
+    d2 = ((gt_kpts[:, None, :, :2] - pred_kpts[None, :, :, :2]) ** 2).sum(-1)
+    vis = gt_kpts[:, None, :, 2] > 0
+    e = d2 / (2 * (areas[:, None, None] + eps) * sigma ** 2)
+    return (np.exp(-e) * vis).sum(-1) / (vis.sum(-1) + eps)
+
+
+class PoseValidator(DetectionValidator):
+    """Evaluate a Pose-head model: box mAP + OKS keypoint mAP.
+
+    Keypoint TP matching runs over OKS thresholds 0.5:0.95 through the same
+    match_predictions machinery (reference pose/val.py)."""
+
+    def kpt_tp(self, d, pred_kpts, gt_cls, gt_kpts, gt_areas):
+        sim = oks(gt_kpts, pred_kpts, gt_areas)
+        return match_predictions(d[:, 5], gt_cls, sim)

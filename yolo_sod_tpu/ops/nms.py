@@ -24,8 +24,8 @@ from yolo_sod_tpu.ops.boxes import xywh2xyxy
 MAX_WH = 7680.0
 
 
-def _greedy_nms_single(off_boxes, out_boxes, scores, classes, iou_thres: float,
-                       max_det: int, conf_thres: float):
+def _greedy_nms_single(off_boxes, out_boxes, scores, classes, anchor_ids,
+                       iou_thres: float, max_det: int, conf_thres: float):
     """Exact greedy NMS for one image over a fixed-size candidate set.
 
     Args:
@@ -64,11 +64,12 @@ def _greedy_nms_single(off_boxes, out_boxes, scores, classes, iou_thres: float,
          classes[idx][:, None] * valid_f],
         axis=-1,
     )
-    return det, valids.sum().astype(jnp.int32)
+    kept_ids = jnp.where(valids, anchor_ids[idx], -1).astype(jnp.int32)
+    return det, valids.sum().astype(jnp.int32), kept_ids
 
 
-def _cluster_nms_single(off_boxes, out_boxes, scores, classes, iou_thres: float,
-                        max_det: int, conf_thres: float):
+def _cluster_nms_single(off_boxes, out_boxes, scores, classes, anchor_ids,
+                        iou_thres: float, max_det: int, conf_thres: float):
     """Exact-greedy NMS via Cluster-NMS matrix iteration.
 
     Replaces the max_det-step sequential lax.scan with a short
@@ -116,8 +117,10 @@ def _cluster_nms_single(off_boxes, out_boxes, scores, classes, iou_thres: float,
     rows = jnp.concatenate([out_boxes, scores[:, None], classes[:, None]], axis=-1)
     det = det.at[slot].set(rows, mode="drop")
     det = det[:max_det]
+    kept_ids = jnp.full((max_det + 1,), -1, jnp.int32)
+    kept_ids = kept_ids.at[slot].set(anchor_ids, mode="drop")[:max_det]
     n_valid = jnp.minimum(keep.sum(), max_det).astype(jnp.int32)
-    return det, n_valid
+    return det, n_valid, kept_ids
 
 
 def non_max_suppression(
@@ -131,6 +134,7 @@ def non_max_suppression(
     max_nms: int = 4096,
     nc: int | None = None,
     method: str = "auto",
+    return_idx: bool = False,
 ):
     """Batched fixed-shape NMS over decoded predictions.
 
@@ -163,7 +167,7 @@ def non_max_suppression(
         cls_ids = jnp.tile(jnp.arange(nc, dtype=jnp.float32), (A,))
         k = min(max_nms, A * nc)
         top_scores, top_idx = jax.lax.top_k(flat, k)
-        anchor_idx = top_idx // nc
+        anchor_idx = (top_idx // nc).astype(jnp.int32)
         cand_cls = cls_ids[top_idx]
         cand_boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
     else:
@@ -171,6 +175,7 @@ def non_max_suppression(
         best_cls = scores.argmax(-1).astype(jnp.float32)
         k = min(max_nms, A)
         top_scores, top_idx = jax.lax.top_k(best, k)
+        anchor_idx = top_idx.astype(jnp.int32)
         cand_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
         cand_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
 
@@ -188,7 +193,11 @@ def non_max_suppression(
     else:
         nms_fn = partial(_greedy_nms_single, iou_thres=iou_thres, max_det=max_det,
                          conf_thres=conf_thres)
-    return jax.vmap(nms_fn)(off_boxes, cand_boxes, top_scores, cand_cls)
+    det, n_valid, kept_ids = jax.vmap(nms_fn)(off_boxes, cand_boxes, top_scores,
+                                              cand_cls, anchor_idx)
+    if return_idx:
+        return det, n_valid, kept_ids
+    return det, n_valid
 
 
 def topk_postprocess(preds, max_det: int = 300, nc: int | None = None):
