@@ -152,6 +152,8 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         fraction=(cfg.get("fraction", 1.0) if isinstance(cfg, dict) else cfg.fraction) if mode == "train" else 1.0,
         nc=data.get("nc"),
         seed=seed,
+        cache=(cfg.get("cache", False) if isinstance(cfg, dict)
+               else getattr(cfg, "cache", False)),
     )
 
 

@@ -35,7 +35,7 @@ class YOLODataset:
                  hyp=None, rect: bool = False, stride: int = 32,
                  single_cls: bool = False, fraction: float = 1.0,
                  nc: Optional[int] = None, seed: int = 0,
-                 task: str = "detect", mask_ratio: int = 4):
+                 task: str = "detect", mask_ratio: int = 4, cache=False):
         self.img_path = img_path
         self.imgsz = imgsz
         self.augment = augment
@@ -64,6 +64,8 @@ class YOLODataset:
                 lb[:, 0] = 0
         self.seed = seed
         self.epoch = 0   # bumped by the loader; salts per-item RNG
+        self.cache = "ram" if cache in (True, "ram", "True") else None
+        self._im_cache = [None] * len(self.im_files) if self.cache else None
         n_boxes = sum(len(l) for l in self.labels)
         LOGGER.info(f"dataset: {len(self.im_files)} images, {n_boxes} boxes ({img_path})")
 
@@ -77,7 +79,12 @@ class YOLODataset:
 
     def load_image(self, i: int):
         """Load image i, resized so the long side == imgsz (reference contract:
-        train-time images pre-scale to imgsz before mosaic)."""
+        train-time images pre-scale to imgsz before mosaic). cache='ram'
+        keeps the resized arrays (reference `cache` key / InfiniteDataLoader
+        behavior); entries fill lazily and are shared across epochs."""
+        if self.cache == "ram" and self._im_cache[i] is not None:
+            im, shape = self._im_cache[i]
+            return im.copy(), shape
         im = cv2.imread(self.im_files[i])
         if im is None:
             raise FileNotFoundError(f"image not found: {self.im_files[i]}")
@@ -86,6 +93,8 @@ class YOLODataset:
         if r != 1:
             im = cv2.resize(im, (min(round(w0 * r), self.imgsz), min(round(h0 * r), self.imgsz)),
                             interpolation=cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA)
+        if self.cache == "ram":
+            self._im_cache[i] = (im.copy(), (h0, w0))
         return im, (h0, w0)
 
     # -- mosaic ---------------------------------------------------------------
