@@ -153,3 +153,116 @@ class SpeedEstimator(BaseSolution):
         return im0
 
     __call__ = estimate_speed
+
+
+class RegionCounter(BaseSolution):
+    """Live per-region object counts (reference solutions/region_counter.py)."""
+
+    def __init__(self, regions=None, **kwargs):
+        super().__init__(**kwargs)
+        # {"name": [(x, y), ...] polygon}
+        self.regions = regions or {"region-01": [(0, 0), (320, 0), (320, 320), (0, 320)]}
+        self.counts = {k: 0 for k in self.regions}
+
+    def count(self, im0):
+        import cv2
+
+        boxes, cls, ids = self.extract_tracks(im0)
+        self.counts = {k: 0 for k in self.regions}
+        for box in boxes:
+            c = (float(box[0] + box[2]) / 2, float(box[1] + box[3]) / 2)
+            for name, poly in self.regions.items():
+                if cv2.pointPolygonTest(np.array(poly, np.float32), c, False) >= 0:
+                    self.counts[name] += 1
+        return im0
+
+    __call__ = count
+
+
+class QueueManager(BaseSolution):
+    """Queue-length monitoring inside a region (reference solutions/queue_management.py)."""
+
+    def __init__(self, region=None, **kwargs):
+        super().__init__(**kwargs)
+        self.region = region or [(0, 0), (640, 0), (640, 480), (0, 480)]
+        self.queue_count = 0
+
+    def process_queue(self, im0):
+        import cv2
+
+        boxes, cls, ids = self.extract_tracks(im0)
+        self.queue_count = 0
+        for box, tid in zip(boxes, ids):
+            c = (float(box[0] + box[2]) / 2, float(box[1] + box[3]) / 2)
+            if cv2.pointPolygonTest(np.array(self.region, np.float32), c, False) >= 0:
+                self.queue_count += 1
+            self.store_track(int(tid), c)
+        return im0
+
+    __call__ = process_queue
+
+
+class DistanceCalculation(BaseSolution):
+    """Pixel->metric distance between two selected track ids
+    (reference solutions/distance_calculation.py)."""
+
+    def __init__(self, meters_per_pixel: float = 0.05, **kwargs):
+        super().__init__(**kwargs)
+        self.mpp = meters_per_pixel
+        self.selected: list[int] = []
+        self.distance_m = None
+
+    def select(self, track_id: int):
+        if track_id in self.selected:
+            self.selected.remove(track_id)
+        elif len(self.selected) < 2:
+            self.selected.append(track_id)
+
+    def calculate(self, im0):
+        boxes, cls, ids = self.extract_tracks(im0)
+        centers = {}
+        for box, tid in zip(boxes, ids):
+            centers[int(tid)] = ((box[0] + box[2]) / 2, (box[1] + box[3]) / 2)
+        if len(self.selected) == 2 and all(t in centers for t in self.selected):
+            (x1, y1), (x2, y2) = (centers[t] for t in self.selected)
+            self.distance_m = float(np.hypot(x2 - x1, y2 - y1)) * self.mpp
+        return im0
+
+    __call__ = calculate
+
+
+class AIGym(BaseSolution):
+    """Workout rep counting from pose keypoints (reference solutions/ai_gym.py).
+
+    Consumes (K, 3) keypoints per person (a Pose-head model output); counts a
+    rep each time the tracked joint angle crosses down past `down_angle` and
+    back up past `up_angle`."""
+
+    def __init__(self, kpts=(6, 8, 10), up_angle: float = 145.0,
+                 down_angle: float = 90.0, **kwargs):
+        super().__init__(**kwargs)
+        self.kpt_ids = kpts
+        self.up_angle = up_angle
+        self.down_angle = down_angle
+        self.count: dict[int, int] = defaultdict(int)
+        self.stage: dict[int, str] = defaultdict(lambda: "up")
+
+    @staticmethod
+    def joint_angle(a, b, c) -> float:
+        """Angle ABC in degrees from three (x, y) points."""
+        a, b, c = (np.asarray(p, np.float32) for p in (a, b, c))
+        v1, v2 = a - b, c - b
+        cos = (v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2) + 1e-9)
+        return float(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+
+    def monitor(self, keypoints_per_person: dict):
+        """keypoints_per_person: {track_id: (K, >=2) array}."""
+        i, j, k = self.kpt_ids
+        for tid, kp in keypoints_per_person.items():
+            ang = self.joint_angle(kp[i][:2], kp[j][:2], kp[k][:2])
+            if ang < self.down_angle and self.stage[tid] == "up":
+                self.stage[tid] = "down"
+            elif ang > self.up_angle and self.stage[tid] == "down":
+                self.stage[tid] = "up"
+                self.count[tid] += 1
+        return self.count
