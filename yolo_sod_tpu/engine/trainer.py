@@ -269,9 +269,11 @@ class DetectionTrainer:
                     f"{self.nb} batches/epoch")
         self.run_callbacks("on_train_start")
         t_train = time.time()
+        self._t_train0 = t_train
         epoch = self.start_epoch
         for epoch in range(self.start_epoch, args.epochs):
             self.epoch = epoch
+            t_epoch0 = time.time()
             self.run_callbacks("on_train_epoch_start")
             if epoch == args.epochs - args.close_mosaic:
                 self.trainset.close_mosaic()
@@ -382,6 +384,7 @@ class DetectionTrainer:
     def _write_csv(self, epoch: int, fitness):
         header = not self.csv.exists()
         vals = {"epoch": epoch + 1,
+                "time": round(time.time() - getattr(self, "_t_train0", time.time()), 2),
                 **self.label_loss_items(self.tloss),
                 **({k: v for k, v in zip(self.metrics.keys, self.metrics.mean_results())}
                    if self.metrics else {}),
