@@ -175,3 +175,32 @@ def test_fused_mhsa_dispatch_cpu():
     q = jnp.ones((2, 16, 8))
     out = fused_mhsa(q, q, q)   # CPU -> einsum path
     assert out.shape == (2, 16, 8)
+
+
+def test_pallas_scan_analytic_bwd_matches_ad():
+    """Analytic Pallas backward (interpret) == AD of the associative scan."""
+    from yolo_sod_tpu.nn.modules.ssm import selective_scan
+    from yolo_sod_tpu.ops.pallas_scan import (selective_scan_pallas_bwd,
+                                              selective_scan_pallas_fwd)
+
+    rng = np.random.default_rng(7)
+    b, L, d, n = 2, 37, 8, 4    # non-multiple of chunk exercises padding
+    u = jnp.asarray(rng.standard_normal((b, L, d)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.01, 0.3, (b, L, d)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (d, n)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+    D = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((b, L, d)), jnp.float32)
+
+    y, h = selective_scan_pallas_fwd(u, dt, A, B, C, D, chunk=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(selective_scan(u, dt, A, B, C, D)),
+                               rtol=1e-4, atol=1e-4)
+    grads = selective_scan_pallas_bwd(u, dt, A, B, C, D, h, gy, chunk=16,
+                                      interpret=True)
+    ref = jax.grad(lambda *a: (selective_scan(*a) * gy).sum(),
+                   argnums=tuple(range(6)))(u, dt, A, B, C, D)
+    for g, r in zip(grads, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)

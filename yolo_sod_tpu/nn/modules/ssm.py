@@ -64,8 +64,8 @@ def selective_scan(u, dt, A, B, C, D):
 @jax.custom_vjp
 def selective_scan_fast(u, dt, A, B, C, D):
     """Pallas single-pass scan on TPU (4x the associative scan at Mamba-P3
-    sizes; ops/pallas_scan.py), associative scan elsewhere. Backward
-    differentiates the associative formulation — mathematically identical."""
+    sizes; ops/pallas_scan.py) with an ANALYTIC Pallas backward (one reverse
+    pass over streamed h residuals); associative scan + AD elsewhere."""
     if _tpu_backend():
         from yolo_sod_tpu.ops.pallas_scan import selective_scan_pallas
 
@@ -74,11 +74,23 @@ def selective_scan_fast(u, dt, A, B, C, D):
 
 
 def _ssf_fwd(u, dt, A, B, C, D):
-    return selective_scan_fast(u, dt, A, B, C, D), (u, dt, A, B, C, D)
+    if _tpu_backend():
+        from yolo_sod_tpu.ops.pallas_scan import selective_scan_pallas_fwd
+
+        y, h = selective_scan_pallas_fwd(u, dt, A, B, C, D)
+        return y, (u, dt, A, B, C, D, h)
+    return selective_scan(u, dt, A, B, C, D), (u, dt, A, B, C, D, None)
 
 
 def _ssf_bwd(res, g):
-    _, vjp = jax.vjp(selective_scan, *res)
+    u, dt, A, B, C, D, h = res
+    if h is not None:
+        from yolo_sod_tpu.ops.pallas_scan import selective_scan_pallas_bwd
+
+        du, ddt, dA, dB, dC, dD = selective_scan_pallas_bwd(u, dt, A, B, C, D, h, g)
+        return (du.astype(u.dtype), ddt.astype(dt.dtype), dA.astype(A.dtype),
+                dB.astype(B.dtype), dC.astype(C.dtype), dD.astype(D.dtype))
+    _, vjp = jax.vjp(selective_scan, u, dt, A, B, C, D)
     return vjp(g)
 
 
