@@ -346,6 +346,18 @@ class DetectionTrainer:
                     f"{(time.time() - t_train) / 3600:.3f} h")
         if self.best_variables is None:
             self.best_variables = self._ema_variables()
+        # Final artifacts (reference final_eval trainer.py:676-689): halve the
+        # kept checkpoints by dropping optimizer state; training curves.
+        # (Deliberate divergence from the reference, which strips last.pt
+        # too: last.ckpt keeps its optimizer state so --resume always works.)
+        if args.save and self.best.exists():
+            from yolo_sod_tpu.utils.checkpoint import strip_optimizer
+
+            strip_optimizer(self.best)
+        if args.plots and self.csv.exists():
+            from yolo_sod_tpu.utils.plotting import plot_results
+
+            plot_results(self.csv)
         self.run_callbacks("on_train_end")
         self.run_callbacks("teardown")
         return self.metrics
