@@ -89,6 +89,18 @@ def _candidate_paths(key: str, available: set) -> list:
 _SKIP_SUFFIXES = ("num_batches_tracked", "anchors", "strides",
                   "dfl.conv.weight")  # frozen DFL arange conv is closed-form here
 
+# Structural renames torch -> flax applied before candidate generation:
+# reference module internals whose names differ from ours by construction.
+_KEY_REWRITES = (
+    (".channel_attention.fc.0.", ".fc1."),       # CBAM channel MLP
+    (".channel_attention.fc.2.", ".fc2."),
+    (".spatial_attention.conv1.", ".spatial."),  # CBAM spatial conv
+    (".mlp.2.", ".mlp_1."),                      # Linear-GELU-Linear Sequential
+    (".mlp.0.", ".mlp_0."),
+    ("in_proj_weight", "in_proj.weight"),        # packed torch MHA qkv
+    ("in_proj_bias", "in_proj.bias"),
+)
+
 
 def convert_torch_checkpoint(src, model) -> Tuple[dict, dict]:
     """Map a torch state dict onto `model`'s flax variables.
@@ -125,6 +137,9 @@ def convert_torch_checkpoint(src, model) -> Tuple[dict, dict]:
     matched = 0
     unused = []
     for key, val in sd.items():
+        for old, new_k in _KEY_REWRITES:
+            if old in key:
+                key = key.replace(old, new_k)
         leaf = key.split(".")[-1]
         if any(key.endswith(s) for s in _SKIP_SUFFIXES):
             continue
