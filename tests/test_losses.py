@@ -102,3 +102,45 @@ def test_staged_config_and_callbacks():
     cb(t)
     assert t.lr0 == 0.0006
     assert t.args.mosaic == 0.8
+
+
+def test_staged_training_end_to_end():
+    """HCP staged protocol drives the real trainer: stage switch mutates lr +
+    aug, the P2 gate flips DetectStable's mask mid-run (one retrace), and the
+    run completes with finite losses."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_train import TMP, make_synthetic_dataset
+
+    import shutil
+
+    root = TMP / "staged"
+    shutil.rmtree(root, ignore_errors=True)
+    yaml = make_synthetic_dataset(root, n_images=8, imgsz=96)
+
+    from yolo_sod_tpu.engine.staged import (create_hcp_400_config,
+                                            create_p2_toggle_callback,
+                                            create_staged_training_callback)
+    from yolo_sod_tpu.engine.trainer import DetectionTrainer
+    from yolo_sod_tpu.nn.tasks import DetectionModel
+
+    model = DetectionModel("yolov12-sod-fusion-v5-stable.yaml", nc=2)
+    trainer = DetectionTrainer(
+        overrides={"data": str(yaml), "epochs": 3, "batch": 4, "imgsz": 64,
+                   "optimizer": "SGD", "lr0": 0.002, "nbs": 4,
+                   "warmup_epochs": 0.0, "val": False, "save": False,
+                   "mosaic": 0.0, "project": str(TMP / "runs"),
+                   "name": "staged", "exist_ok": True, "close_mosaic": 0},
+        model=model)
+    stages = create_hcp_400_config()
+    # shrink the schedule: switch to stage3 at epoch 1; open P2 at epoch 2
+    trainer.add_callback("on_train_epoch_start",
+                         create_staged_training_callback(stages, {1: "stage3"}))
+    trainer.add_callback("on_train_epoch_start", create_p2_toggle_callback(2))
+    trainer.train()
+    assert trainer.lr0 == stages["stage3"]["lr0"]          # stage switch landed
+    assert trainer.active_mask == (1.0, 1.0, 1.0, 1.0)      # P2 opened
+    assert np.isfinite(trainer.tloss).all()
+    shutil.rmtree(root, ignore_errors=True)
