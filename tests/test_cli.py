@@ -31,3 +31,42 @@ def test_entrypoint_predict(tmp_path):
     results = entrypoint(f"yolo-sod detect predict model=yolov12n.yaml "
                          f"source={src} imgsz=64 conf=0.01 verbose=False")
     assert len(results) == 1
+
+
+def test_task2model_yamls_exist():
+    """Every advertised task resolves to a real model YAML and a real
+    task_map route (VERDICT Weak #4 / Next #10; reference test_cli.py:32-53)."""
+    from pathlib import Path
+
+    from yolo_sod_tpu.cfg import TASK2MODEL, TASKS
+    from yolo_sod_tpu.engine.model import Model
+    from yolo_sod_tpu.nn.tasks import yaml_model_load
+
+    m = Model.__new__(Model)
+    m._task_forced = None
+    routes = m.task_map
+    for task in TASKS:
+        assert task in TASK2MODEL, f"no model for advertised task {task}"
+        yaml_model_load(TASK2MODEL[task])  # raises if the file doesn't exist
+        assert task in routes, f"no task_map route for {task}"
+        for role in ("model", "trainer", "validator", "predictor"):
+            assert routes[task][role] is not None
+
+
+@pytest.mark.parametrize("task,model", [
+    ("segment", "yolov12n-seg.yaml"),
+    ("pose", "yolov12n-pose.yaml"),
+    ("obb", "yolov12n-obb.yaml"),
+])
+def test_entrypoint_task_predict(task, model, tmp_path):
+    """`yolo-sod <task> predict` runs for every non-classify task."""
+    import cv2
+
+    from yolo_sod_tpu.cfg import entrypoint
+
+    img = (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+    src = tmp_path / "img.jpg"
+    cv2.imwrite(str(src), img)
+    results = entrypoint(f"yolo-sod {task} predict model={model} "
+                         f"source={src} imgsz=64 conf=0.001 verbose=False")
+    assert len(results) == 1

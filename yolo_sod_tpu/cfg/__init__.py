@@ -23,8 +23,8 @@ TASKS = frozenset({"detect", "segment", "classify", "pose", "obb"})
 
 TASK2DATA = {"detect": "coco8.yaml", "segment": "coco8-seg.yaml", "classify": "imagenet10",
              "pose": "coco8-pose.yaml", "obb": "dota8.yaml"}
-TASK2MODEL = {"detect": "yolov12-sod-fusion-v5-simple.yaml", "segment": "yolo11n-seg.yaml",
-              "classify": "yolo11n-cls.yaml", "pose": "yolo11n-pose.yaml", "obb": "yolo11n-obb.yaml"}
+TASK2MODEL = {"detect": "yolov12-sod-fusion-v5-simple.yaml", "segment": "yolov12-seg.yaml",
+              "classify": "yolov12-cls.yaml", "pose": "yolov12-pose.yaml", "obb": "yolov12-obb.yaml"}
 TASK2METRIC = {"detect": "metrics/mAP50-95(B)", "segment": "metrics/mAP50-95(M)",
                "classify": "metrics/accuracy_top1", "pose": "metrics/mAP50-95(P)",
                "obb": "metrics/mAP50-95(B)"}

@@ -80,15 +80,20 @@ def random_perspective(img: np.ndarray, labels_xyxy: np.ndarray,
                        rng: np.random.Generator, degrees: float = 0.0,
                        translate: float = 0.1, scale: float = 0.5,
                        shear: float = 0.0, perspective: float = 0.0,
-                       border=(0, 0), segments=None):
-    """Random affine/perspective warp of image + xyxy labels (+ polygons).
+                       border=(0, 0), segments=None, keypoints=None):
+    """Random affine/perspective warp of image + xyxy labels (+ polygons /
+    keypoints).
 
     `border` is negative half the mosaic margin: output is
     (H + 2*border[0], W + 2*border[1]) — how mosaic's 2x canvas comes back to
     imgsz (reference random_perspective contract). When `segments` (list of
     (n, 2) pixel polygons parallel to the label rows) is given, polygons warp
     through the same matrix, boxes recompute FROM the warped polygons, and
-    the call returns (img, labels, segments).
+    the call returns (img, labels, segments). When `keypoints` ((n, K, 3)
+    pixel xy + visibility, parallel to label rows) is given, keypoint xy warp
+    through the matrix, points landing outside the canvas become invisible
+    (v=0), boxes warp via their corners, and the call returns
+    (img, labels, keypoints).
     """
     height = img.shape[0] + border[0] * 2
     width = img.shape[1] + border[1] * 2
@@ -153,6 +158,19 @@ def random_perspective(img: np.ndarray, labels_xyxy: np.ndarray,
         keep = box_candidates(labels_xyxy[:, 1:5].T * s, new.T)
         labels_xyxy = labels_xyxy[keep]
         labels_xyxy[:, 1:5] = new[keep]
+        if keypoints is not None:
+            kp = np.ones((n * keypoints.shape[1], 3))
+            kp[:, :2] = keypoints[..., :2].reshape(-1, 2)
+            kp = kp @ M.T
+            kxy = kp[:, :2] / kp[:, 2:3] if perspective else kp[:, :2]
+            kxy = kxy.reshape(n, -1, 2)
+            inside = ((kxy[..., 0] >= 0) & (kxy[..., 0] < width) &
+                      (kxy[..., 1] >= 0) & (kxy[..., 1] < height))
+            vis = keypoints[..., 2] * inside.astype(np.float32)
+            keypoints = np.concatenate([kxy, vis[..., None]],
+                                       -1).astype(np.float32)[keep]
+    if keypoints is not None:
+        return img, labels_xyxy, keypoints
     if segments is not None:
         return img, labels_xyxy, list(segments)
     return img, labels_xyxy

@@ -33,10 +33,17 @@ def collate(items: list[dict], max_boxes: int) -> dict:
     bboxes = np.zeros((B, M, 4), np.float32)
     mask = np.zeros((B, M), np.float32)
     has_masks = "masks" in items[0]
+    has_kpts = "keypoints" in items[0]
+    has_angles = "angles" in items[0]
     if has_masks:
         mh, mw = items[0]["masks"].shape[-2:] if items[0]["masks"].ndim == 3 \
             else (items[0]["img"].shape[0] // 4, items[0]["img"].shape[1] // 4)
         masks = np.zeros((B, M, mh, mw), np.float32)
+    if has_kpts:
+        K = items[0]["keypoints"].shape[1] if items[0]["keypoints"].ndim == 3 else 17
+        kpts = np.zeros((B, M, K, 3), np.float32)
+    if has_angles:
+        angles = np.zeros((B, M), np.float32)
     batch_idx = []
     for b, it in enumerate(items):
         lb = it["labels"][:M]
@@ -49,6 +56,12 @@ def collate(items: list[dict], max_boxes: int) -> dict:
         if has_masks and len(it["masks"]):
             nm_i = min(len(it["masks"]), M)
             masks[b, :nm_i] = it["masks"][:nm_i]
+        if has_kpts and len(it["keypoints"]):
+            nk = min(len(it["keypoints"]), M)
+            kpts[b, :nk] = it["keypoints"][:nk]
+        if has_angles and len(it["angles"]):
+            na = min(len(it["angles"]), M)
+            angles[b, :na] = it["angles"][:na]
     return {
         "img": np.ascontiguousarray(img),
         "cls": cls,
@@ -56,6 +69,8 @@ def collate(items: list[dict], max_boxes: int) -> dict:
         "mask_gt": mask,
         "batch_idx": np.concatenate(batch_idx) if batch_idx else np.zeros(0, np.int32),
         **({"masks": masks} if has_masks else {}),
+        **({"keypoints": kpts} if has_kpts else {}),
+        **({"angles": angles} if has_angles else {}),
         "im_file": [it["im_file"] for it in items],
         "ori_shape": [it["ori_shape"] for it in items],
         "ratio_pad": [it["ratio_pad"] for it in items],
@@ -137,8 +152,12 @@ class DataLoader:
 
 
 def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train",
-                       stride: int = 32, seed: int = 0) -> YOLODataset:
-    """Construct a YOLODataset from the flat cfg namespace (reference contract)."""
+                       stride: int = 32, seed: int = 0,
+                       task: str = "detect") -> YOLODataset:
+    """Construct a YOLODataset from the flat cfg namespace (reference contract).
+
+    Pose extras (kpt_shape, flip_idx) come from the dataset yaml dict, the
+    reference's coco-pose contract."""
     augment = mode == "train"
     hyp = cfg if isinstance(cfg, dict) else vars(cfg).copy() if hasattr(cfg, "__dict__") else dict(cfg)
     return YOLODataset(
@@ -152,6 +171,9 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         fraction=(cfg.get("fraction", 1.0) if isinstance(cfg, dict) else cfg.fraction) if mode == "train" else 1.0,
         nc=data.get("nc"),
         seed=seed,
+        task=task,
+        kpt_shape=tuple(data.get("kpt_shape", (17, 3))),
+        flip_idx=data.get("flip_idx"),
         cache=(cfg.get("cache", False) if isinstance(cfg, dict)
                else getattr(cfg, "cache", False)),
     )

@@ -35,7 +35,8 @@ class YOLODataset:
                  hyp=None, rect: bool = False, stride: int = 32,
                  single_cls: bool = False, fraction: float = 1.0,
                  nc: Optional[int] = None, seed: int = 0,
-                 task: str = "detect", mask_ratio: int = 4, cache=False):
+                 task: str = "detect", mask_ratio: int = 4, cache=False,
+                 kpt_shape=(17, 3), flip_idx=None):
         self.img_path = img_path
         self.imgsz = imgsz
         self.augment = augment
@@ -50,15 +51,39 @@ class YOLODataset:
         self.nc = nc
         self.task = task
         self.mask_ratio = mask_ratio
-        self.labels = [load_label(lf, nc) for lf in self.label_files]
+        self.kpt_shape = tuple(kpt_shape)
+        self.flip_idx = list(flip_idx) if flip_idx else None
         self.segments = None
+        self.kpts = None
         if task == "segment":
             from yolo_sod_tpu.data.utils import load_label_segments
 
+            self.labels = [load_label(lf, nc) for lf in self.label_files]
             self.segments = [load_label_segments(lf) for lf in self.label_files]
             # copy-paste operates on boxes only; disable for polygons.
             if isinstance(self.hyp, dict):
                 self.hyp["copy_paste"] = 0.0
+        elif task == "pose":
+            from yolo_sod_tpu.data.utils import load_label_pose
+
+            pairs = [load_label_pose(lf, self.kpt_shape) for lf in self.label_files]
+            self.labels = [p[0] for p in pairs]
+            self.kpts = [p[1] for p in pairs]
+            if isinstance(self.hyp, dict):
+                self.hyp["copy_paste"] = 0.0
+        elif task == "obb":
+            from yolo_sod_tpu.data.utils import load_label_obb
+
+            pairs = [load_label_obb(lf) for lf in self.label_files]
+            self.labels = [p[0] for p in pairs]
+            # Rotated boxes ride the polygon channel: per-instance (cls, (4,2))
+            # tuples, exactly like segmentation polygons.
+            self.segments = [[(lb[0], xy) for lb, xy in zip(p[0], p[1])]
+                             for p in pairs]
+            if isinstance(self.hyp, dict):
+                self.hyp["copy_paste"] = 0.0
+        else:
+            self.labels = [load_label(lf, nc) for lf in self.label_files]
         if single_cls:
             for lb in self.labels:
                 lb[:, 0] = 0
@@ -115,6 +140,7 @@ class YOLODataset:
         img4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
         labels4 = []
         segs4 = []
+        kpts4 = []
         for i, idx in enumerate(indices):
             img, _ = self.load_image(idx)
             h, w = img.shape[:2]
@@ -138,10 +164,20 @@ class YOLODataset:
                 for _, xy in self.segments[idx]:
                     segs4.append(xy * np.array([w, h], np.float32)
                                  + np.array([padw, padh], np.float32))
+            if self.kpts is not None:
+                k = self.kpts[idx].copy()
+                k[..., 0] = k[..., 0] * w + padw
+                k[..., 1] = k[..., 1] * h + padh
+                kpts4.append(k)
         labels4 = np.concatenate(labels4, 0) if labels4 else np.zeros((0, 5), np.float32)
         labels4[:, 1:] = labels4[:, 1:].clip(0, 2 * s)
         if self.segments is not None:
             return img4, labels4, segs4
+        if self.kpts is not None:
+            K = self.kpt_shape[0]
+            kpts4 = np.concatenate(kpts4, 0) if kpts4 \
+                else np.zeros((0, K, 3), np.float32)
+            return img4, labels4, kpts4
         return img4, labels4
 
     # -- item -----------------------------------------------------------------
@@ -150,6 +186,7 @@ class YOLODataset:
         rng = self._rng(index)
         ratio_pad = (1.0, (0.0, 0.0))
         segs_px = None
+        kpts_px = None
         aff = dict(degrees=self._hyp("degrees"), translate=self._hyp("translate", 0.1),
                    scale=self._hyp("scale", 0.5), shear=self._hyp("shear"),
                    perspective=self._hyp("perspective"))
@@ -159,6 +196,10 @@ class YOLODataset:
                 img, labels_xyxy, segs_px = self._mosaic4(index, rng)
                 img, labels_xyxy, segs_px = random_perspective(
                     img, labels_xyxy, rng, border=border, segments=segs_px, **aff)
+            elif self.kpts is not None:
+                img, labels_xyxy, kpts_px = self._mosaic4(index, rng)
+                img, labels_xyxy, kpts_px = random_perspective(
+                    img, labels_xyxy, rng, border=border, keypoints=kpts_px, **aff)
             else:
                 img, labels_xyxy = self._mosaic4(index, rng)
                 img, labels_xyxy = random_perspective(
@@ -180,11 +221,18 @@ class YOLODataset:
                 scale_xy = np.array([round(w * r), round(h * r)], np.float32)
                 pad_xy = np.array([dw, dh], np.float32)
                 segs_px = [xy * scale_xy + pad_xy for _, xy in self.segments[index]]
+            if self.kpts is not None:
+                kpts_px = self.kpts[index].copy()
+                kpts_px[..., 0] = kpts_px[..., 0] * round(w * r) + dw
+                kpts_px[..., 1] = kpts_px[..., 1] * round(h * r) + dh
             if self.augment:
                 img = np.ascontiguousarray(img)
                 if self.segments is not None:
                     img, labels_xyxy, segs_px = random_perspective(
                         img, labels_xyxy, rng, segments=segs_px, **aff)
+                elif self.kpts is not None:
+                    img, labels_xyxy, kpts_px = random_perspective(
+                        img, labels_xyxy, rng, keypoints=kpts_px, **aff)
                 else:
                     img, labels_xyxy = random_perspective(
                         img, labels_xyxy, rng, **aff)
@@ -204,6 +252,8 @@ class YOLODataset:
                 if segs_px is not None:
                     for sg in segs_px:
                         sg[:, 1] = img.shape[0] - sg[:, 1]
+                if kpts_px is not None and len(kpts_px):
+                    kpts_px[..., 1] = img.shape[0] - kpts_px[..., 1]
             if rng.random() < self._hyp("fliplr", 0.5):
                 img = np.fliplr(img)
                 if len(labels_xyxy):
@@ -213,6 +263,10 @@ class YOLODataset:
                 if segs_px is not None:
                     for sg in segs_px:
                         sg[:, 0] = img.shape[1] - sg[:, 0]
+                if kpts_px is not None and len(kpts_px):
+                    kpts_px[..., 0] = img.shape[1] - kpts_px[..., 0]
+                    if self.flip_idx:   # left/right keypoint swap (pose yaml)
+                        kpts_px = kpts_px[:, self.flip_idx]
 
         h, w = img.shape[:2]
         labels = xyxy2xywhn(labels_xyxy, w, h)
@@ -222,12 +276,32 @@ class YOLODataset:
             keep_rows = (labels[:, 3] > 1e-4) & (labels[:, 4] > 1e-4)
             labels = labels[keep_rows]
         item_masks = None
+        item_kpts = None
+        item_angles = None
+        if kpts_px is not None:
+            if keep_rows is not None and len(kpts_px) == len(keep_rows):
+                kpts_px = kpts_px[keep_rows]
+            item_kpts = kpts_px.copy()
+            item_kpts[..., 0] /= w
+            item_kpts[..., 1] /= h
         if segs_px is not None:
-            from yolo_sod_tpu.data.utils import pixel_polys_to_masks
-
             if keep_rows is not None and len(segs_px) == len(keep_rows):
                 segs_px = [sg for sg, k in zip(segs_px, keep_rows) if k]
-            item_masks = pixel_polys_to_masks(segs_px, self.imgsz, self.mask_ratio)
+            if self.task == "obb":
+                # Polygon -> regularized rotated rect; xywh rows become the
+                # ROTATED rect params (normalized) + per-instance angle, the
+                # OBBLoss batch contract.
+                from yolo_sod_tpu.data.utils import poly2xywhr
+
+                item_angles = np.zeros(len(segs_px), np.float32)
+                for i, sg in enumerate(segs_px):
+                    cx, cy, bw, bh, ang = poly2xywhr(sg)
+                    labels[i, 1:5] = [cx / w, cy / h, bw / w, bh / h]
+                    item_angles[i] = ang
+            else:
+                from yolo_sod_tpu.data.utils import pixel_polys_to_masks
+
+                item_masks = pixel_polys_to_masks(segs_px, self.imgsz, self.mask_ratio)
         return {
             "img": np.ascontiguousarray(img),
             "labels": labels.astype(np.float32),
@@ -235,6 +309,8 @@ class YOLODataset:
             "ori_shape": ori_shape,
             "ratio_pad": ratio_pad,
             **({"masks": item_masks} if item_masks is not None else {}),
+            **({"keypoints": item_kpts} if item_kpts is not None else {}),
+            **({"angles": item_angles} if item_angles is not None else {}),
         }
 
     def close_mosaic(self):

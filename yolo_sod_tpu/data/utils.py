@@ -143,6 +143,69 @@ def load_label_segments(label_path) -> list:
     return out
 
 
+def load_label_pose(label_path, kpt_shape=(17, 3)) -> tuple:
+    """Read pose rows `cls cx cy w h x1 y1 [v1] ...` (normalized) ->
+    ((n, 5) boxes, (n, K, 3) keypoints). Files with D=2 keypoints get v=1
+    (reference contract: missing visibility means visible).
+    """
+    K, D = int(kpt_shape[0]), int(kpt_shape[1])
+    p = Path(label_path)
+    if not p.exists():
+        return np.zeros((0, 5), np.float32), np.zeros((0, K, 3), np.float32)
+    boxes, kpts = [], []
+    for line in p.read_text().splitlines():
+        parts = [float(x) for x in line.split()]
+        if len(parts) != 5 + K * D:
+            continue
+        boxes.append(parts[:5])
+        k = np.array(parts[5:], np.float32).reshape(K, D)
+        if D == 2:
+            k = np.concatenate([k, np.ones((K, 1), np.float32)], 1)
+        kpts.append(k)
+    if not boxes:
+        return np.zeros((0, 5), np.float32), np.zeros((0, K, 3), np.float32)
+    lb = np.array(boxes, np.float32)
+    lb[:, 1:] = np.clip(lb[:, 1:], 0, 1)
+    return lb, np.stack(kpts)
+
+
+def load_label_obb(label_path) -> tuple:
+    """Read DOTA-YOLO rows `cls x1 y1 x2 y2 x3 y3 x4 y4` (normalized) ->
+    ((n, 5) axis-aligned boxes for generic machinery, (n, 4, 2) polygons).
+    """
+    p = Path(label_path)
+    if not p.exists():
+        return np.zeros((0, 5), np.float32), np.zeros((0, 4, 2), np.float32)
+    boxes, polys = [], []
+    for line in p.read_text().splitlines():
+        parts = [float(x) for x in line.split()]
+        if len(parts) != 9:
+            continue
+        xy = np.clip(np.array(parts[1:], np.float32).reshape(4, 2), 0, 1)
+        x1, y1 = xy.min(0)
+        x2, y2 = xy.max(0)
+        boxes.append([parts[0], (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+        polys.append(xy)
+    if not boxes:
+        return np.zeros((0, 5), np.float32), np.zeros((0, 4, 2), np.float32)
+    return np.array(boxes, np.float32), np.stack(polys)
+
+
+def poly2xywhr(poly_px: np.ndarray) -> np.ndarray:
+    """(4, 2) pixel polygon -> [cx, cy, w, h, r] rotated rect, regularized so
+    w >= h and r in [-pi/4, 3pi/4) (the reference's regularize_rboxes range,
+    matching the OBB head's (sigmoid - 0.25) * pi decode)."""
+    import cv2
+
+    (cx, cy), (w, h), deg = cv2.minAreaRect(poly_px.astype(np.float32))
+    r = np.deg2rad(deg)
+    if w < h:
+        w, h = h, w
+        r += np.pi / 2
+    r = (r + np.pi / 4) % np.pi - np.pi / 4
+    return np.array([cx, cy, w, h, r], np.float32)
+
+
 def polygons_to_masks(segments, imgsz: int, ratio, pad, mask_ratio: int = 4) -> np.ndarray:
     """Rasterize letterboxed polygons into per-instance masks at
     imgsz/mask_ratio resolution. `segments` is [(cls, (n,2) normalized xy)]

@@ -20,6 +20,7 @@ class Model:
     def __init__(self, model: str | dict = "yolov12-sod-fusion-v5-simple.yaml",
                  task: Optional[str] = None, verbose: bool = False):
         self.overrides: dict[str, Any] = {}
+        self._task_forced = task
         self.task = task or "detect"
         self.trainer = None
         self.predictor = None
@@ -33,14 +34,26 @@ class Model:
 
     @property
     def task_map(self) -> dict:
-        """task -> {model, trainer, validator, predictor} routing
-        (reference model.py:1106). Lazily imported to keep construction light."""
+        """task -> {model, trainer, validator, predictor} routing for all
+        5 tasks (reference model.py:1106). Lazily imported to keep
+        construction light."""
         from yolo_sod_tpu.engine.classify import (ClassificationTrainer,
                                                   ClassificationValidator)
+        from yolo_sod_tpu.engine.predict_tasks import (ClassificationPredictor,
+                                                       OBBPredictor,
+                                                       PosePredictor,
+                                                       SegmentationPredictor)
         from yolo_sod_tpu.engine.predictor import DetectionPredictor
         from yolo_sod_tpu.engine.trainer import DetectionTrainer
+        from yolo_sod_tpu.engine.trainer_tasks import (OBBTrainer, PoseTrainer,
+                                                       SegmentationTrainer)
         from yolo_sod_tpu.engine.validator import DetectionValidator
-        from yolo_sod_tpu.nn.tasks import ClassificationModel, DetectionModel
+        from yolo_sod_tpu.engine.validator_tasks import (OBBValidator,
+                                                         PoseValidator,
+                                                         SegmentationValidator)
+        from yolo_sod_tpu.nn.tasks import (ClassificationModel, DetectionModel,
+                                           OBBModel, PoseModel,
+                                           SegmentationModel)
 
         return {
             "detect": {"model": DetectionModel, "trainer": DetectionTrainer,
@@ -49,31 +62,43 @@ class Model:
             "classify": {"model": ClassificationModel,
                          "trainer": ClassificationTrainer,
                          "validator": ClassificationValidator,
-                         "predictor": DetectionPredictor},
+                         "predictor": ClassificationPredictor},
+            "segment": {"model": SegmentationModel,
+                        "trainer": SegmentationTrainer,
+                        "validator": SegmentationValidator,
+                        "predictor": SegmentationPredictor},
+            "pose": {"model": PoseModel, "trainer": PoseTrainer,
+                     "validator": PoseValidator, "predictor": PosePredictor},
+            "obb": {"model": OBBModel, "trainer": OBBTrainer,
+                    "validator": OBBValidator, "predictor": OBBPredictor},
         }
 
     # -- construction --------------------------------------------------------
     def _new(self, cfg, verbose: bool = False):
-        """Build a fresh model from a YAML graph config."""
-        self.cfg = cfg
-        name = str(cfg)
-        if self.task == "classify" or "-cls" in name:
-            from yolo_sod_tpu.nn.tasks import ClassificationModel
+        """Build a fresh model from a YAML graph config; the task comes from
+        the config's head row (nn/tasks.guess_model_task) unless forced."""
+        from yolo_sod_tpu.nn.tasks import guess_model_task
 
-            self.task = "classify"
-            self.model = ClassificationModel(cfg, verbose=verbose)
-        else:
-            self.model = DetectionModel(cfg, verbose=verbose)
+        self.cfg = cfg
+        if self._task_forced is None:
+            self.task = guess_model_task(cfg)
+        model_cls = self.task_map[self.task]["model"]
+        self.model = model_cls(cfg, verbose=verbose)
         self.overrides["model"] = cfg if isinstance(cfg, str) else "<dict>"
         self.overrides["task"] = self.task
 
     def _load(self, weights: str):
         """Load a model + params from a checkpoint file (.ckpt/.msgpack)."""
+        from yolo_sod_tpu.nn.tasks import guess_model_task
         from yolo_sod_tpu.utils.checkpoint import load_checkpoint
 
         ckpt = load_checkpoint(weights)
         self.ckpt = ckpt
-        self.model = DetectionModel(ckpt["model_yaml"])
+        if self._task_forced is None:
+            self.task = (ckpt.get("train_args") or {}).get("task") \
+                or guess_model_task(ckpt["model_yaml"])
+        model_cls = self.task_map.get(self.task, {}).get("model", DetectionModel)
+        self.model = model_cls(ckpt["model_yaml"])
         self.model.variables = ckpt["variables"]
         if "names" in ckpt:
             self.model.names = ckpt["names"]
@@ -86,12 +111,13 @@ class Model:
 
     # -- modes ---------------------------------------------------------------
     def predict(self, source=None, stream: bool = False, **kwargs):
-        """Run inference on a source (array, path, dir, list). Returns Results list."""
-        from yolo_sod_tpu.engine.predictor import DetectionPredictor
-
+        """Run inference on a source (array, path, dir, list). Returns Results
+        list. The predictor class routes per task (classify returns top-k
+        probs and never touches NMS — reference classify/predict.py)."""
         args = {**self.overrides, "conf": kwargs.pop("conf", 0.25), "mode": "predict", **kwargs}
         if self.predictor is None:
-            self.predictor = DetectionPredictor(overrides=args)
+            predictor_cls = self.task_map[self.task]["predictor"]
+            self.predictor = predictor_cls(overrides=args)
             self.predictor.setup_model(self.model)
         else:
             self.predictor.args = get_cfg(self.predictor.args, args)

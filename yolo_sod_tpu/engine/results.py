@@ -69,17 +69,105 @@ class Boxes:
         return self
 
 
+class Masks:
+    """Per-detection binary masks (reference Masks :1156): (N, H, W) bool
+    at model input resolution (un-letterboxing happens in .data consumers)."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+
+class Keypoints:
+    """Per-detection keypoints (reference Keypoints :1254): (N, K, 3) in
+    original-image pixels + visibility/confidence."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def conf(self):
+        return self.data[..., 2]
+
+    def __len__(self):
+        return len(self.data)
+
+
+class OBBoxes:
+    """Per-detection oriented boxes (reference OBB :1519): (N, 7)
+    [cx, cy, w, h, angle(rad), conf, cls] in original-image pixels."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    @property
+    def xywhr(self):
+        return self.data[:, :5]
+
+    @property
+    def conf(self):
+        return self.data[:, 5]
+
+    @property
+    def cls(self):
+        return self.data[:, 6]
+
+    def __len__(self):
+        return len(self.data)
+
+
+class Probs:
+    """Classification probabilities (reference Probs :1378)."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = np.asarray(data)
+
+    @property
+    def top1(self) -> int:
+        return int(self.data.argmax())
+
+    @property
+    def top1conf(self) -> float:
+        return float(self.data.max())
+
+    @property
+    def top5(self):
+        return np.argsort(-self.data)[:5].tolist()
+
+    @property
+    def top5conf(self):
+        return np.sort(self.data)[::-1][:5]
+
+
 class Results:
     """Results for one image (reference Results :187)."""
 
     def __init__(self, orig_img: np.ndarray, path: str, names: dict,
-                 boxes: Optional[np.ndarray] = None, speed: Optional[dict] = None):
+                 boxes: Optional[np.ndarray] = None, speed: Optional[dict] = None,
+                 masks: Optional[np.ndarray] = None,
+                 keypoints: Optional[np.ndarray] = None,
+                 obb: Optional[np.ndarray] = None,
+                 probs: Optional[np.ndarray] = None):
         self.orig_img = orig_img
         self.orig_shape = orig_img.shape[:2]
         self.path = path
         self.names = names
         self.boxes = Boxes(boxes if boxes is not None else np.zeros((0, 6)),
                            self.orig_shape)
+        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
+        self.keypoints = Keypoints(keypoints, self.orig_shape) \
+            if keypoints is not None else None
+        self.obb = OBBoxes(obb, self.orig_shape) if obb is not None else None
+        self.probs = Probs(probs) if probs is not None else None
         self.speed = speed or {"preprocess": None, "inference": None, "postprocess": None}
 
     def __len__(self):
@@ -158,18 +246,6 @@ class Results:
         import json
 
         return json.loads(self.tojson(normalize))
-
-    @property
-    def probs(self):
-        return None
-
-    @property
-    def masks(self):
-        return None
-
-    @property
-    def keypoints(self):
-        return None
 
     def verbose(self) -> str:
         if not len(self.boxes):

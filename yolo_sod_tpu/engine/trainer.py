@@ -67,7 +67,18 @@ class EarlyStopping:
 
 
 class DetectionTrainer:
-    """Detection training engine (reference BaseTrainer + DetectionTrainer)."""
+    """Detection training engine (reference BaseTrainer + DetectionTrainer).
+
+    Task subclasses (engine/trainer_tasks.py — the reference's
+    models/yolo/{segment,pose,obb}/train.py) override the four hooks:
+    `task`, `model_class()`, `build_criterion()`, `get_validator()`, plus
+    `loss_names` and `batch_extra_keys` for the extra GT tensors their
+    criterion consumes.
+    """
+
+    task = "detect"
+    loss_names = ("box_loss", "cls_loss", "dfl_loss")
+    batch_extra_keys: tuple = ()
 
     def __init__(self, overrides: Optional[dict] = None, model=None, _callbacks=None):
         self.args = get_cfg(DEFAULT_CFG_DICT, overrides or {})
@@ -85,6 +96,26 @@ class DetectionTrainer:
         self.callbacks = _callbacks or get_default_callbacks()
         self.csv = self.save_dir / "results.csv"
         add_integration_callbacks(self)
+
+    # -- task hooks (overridden by trainer_tasks.py subclasses) ---------------
+    def model_class(self):
+        from yolo_sod_tpu.nn.tasks import DetectionModel
+
+        return DetectionModel
+
+    def default_model(self) -> str:
+        return "yolov12-sod-fusion-v5-simple.yaml"
+
+    def build_criterion(self, nc: int):
+        args = self.args
+        return DetectionLoss(nc=nc, strides=self.model.graph.detect_strides,
+                             box_gain=args.box, cls_gain=args.cls,
+                             dfl_gain=args.dfl)
+
+    def get_validator(self, vargs):
+        from yolo_sod_tpu.engine.validator import DetectionValidator
+
+        return DetectionValidator(args=vargs)
 
     # -- callbacks ------------------------------------------------------------
     def add_callback(self, event: str, callback):
@@ -104,16 +135,12 @@ class DetectionTrainer:
 
         # Model.
         if self.model is None:
-            from yolo_sod_tpu.nn.tasks import DetectionModel
-
-            self.model = DetectionModel(args.model or "yolov12-sod-fusion-v5-simple.yaml")
+            self.model = self.model_class()(args.model or self.default_model())
         self.data = check_det_dataset(args.data)
         nc = self.data["nc"]
         if nc != self.model.nc:
-            from yolo_sod_tpu.nn.tasks import DetectionModel
-
             LOGGER.info(f"rebuilding model head for nc={nc}")
-            self.model = DetectionModel(self.model.yaml, nc=nc)
+            self.model = type(self.model)(self.model.yaml, nc=nc)
         self.model.names = self.data["names"]
         if self.model.variables is None:
             self.model.init(rng=jax.random.PRNGKey(args.seed), imgsz=args.imgsz)
@@ -122,7 +149,7 @@ class DetectionTrainer:
         stride = int(max(self.model.stride))
         self.trainset = build_yolo_dataset(vars(args), self.data["train"], args.batch,
                                            self.data, mode="train", stride=stride,
-                                           seed=args.seed)
+                                           seed=args.seed, task=self.task)
         self.train_loader = build_dataloader(self.trainset, int(args.batch),
                                              shuffle=True, seed=args.seed)
         self.nb = len(self.train_loader)  # batches per epoch
@@ -180,9 +207,7 @@ class DetectionTrainer:
             LOGGER.info(f"{colorstr('mesh:')} data-parallel over {n_dev} devices")
 
         # Criterion + step.
-        self.criterion = DetectionLoss(
-            nc=nc, strides=self.model.graph.detect_strides,
-            box_gain=args.box, cls_gain=args.cls, dfl_gain=args.dfl)
+        self.criterion = self.build_criterion(nc)
         self.active_mask = None
         self._compile_step()
 
@@ -193,11 +218,9 @@ class DetectionTrainer:
         # Validator (reuses val split).
         self.validator = None
         if self.args.val and self.data.get("val"):
-            from yolo_sod_tpu.engine.validator import DetectionValidator
-
             vargs = get_cfg(vars(self.args), {"mode": "val", "conf": 0.001, "iou": 0.7,
                                              "plots": False, "verbose": False})
-            self.validator = DetectionValidator(args=vargs)
+            self.validator = self.get_validator(vargs)
 
         self.stopper = EarlyStopping(patience=args.patience)
         self.warmup_iters = max(round(args.warmup_epochs * self.nb), 100) \
@@ -296,7 +319,9 @@ class DetectionTrainer:
                     jax.profiler.stop_trace()
                     LOGGER.info(f"profiler: trace written to {self.save_dir}/profile")
                 self._warmup(ni, epoch)
-                dev_batch = {k: batch[k] for k in ("img", "cls", "bboxes", "mask_gt")}
+                dev_batch = {k: batch[k]
+                             for k in ("img", "cls", "bboxes", "mask_gt",
+                                       *self.batch_extra_keys) if k in batch}
                 if self.mesh is not None:
                     dev_batch = shard_batch(dev_batch, self.mesh)
                 self.state, out = self.train_step(self.state, dev_batch)
@@ -388,7 +413,7 @@ class DetectionTrainer:
         return metrics
 
     def label_loss_items(self, items=None, prefix: str = "train"):
-        keys = [f"{prefix}/box_loss", f"{prefix}/cls_loss", f"{prefix}/dfl_loss"]
+        keys = [f"{prefix}/{n}" for n in self.loss_names]
         if items is None:
             return keys
         return dict(zip(keys, [float(x) for x in items]))

@@ -92,12 +92,8 @@ class SegmentationValidator(DetectionValidator):
         if self.dataloader is None:
             cfg = dict(vars(args))
             dataset = build_yolo_dataset(cfg, data["val"], args.batch, data,
-                                         mode="val", stride=int(max(model.stride)))
-            dataset.task = "segment"
-            from yolo_sod_tpu.data.utils import load_label_segments
-
-            dataset.segments = [load_label_segments(lf)
-                                for lf in dataset.label_files]
+                                         mode="val", stride=int(max(model.stride)),
+                                         task="segment")
             self.dataloader = build_dataloader(dataset, args.batch, shuffle=False)
 
         conf = args.conf if args.conf not in (None, 0) else 0.001
@@ -163,12 +159,224 @@ def oks(gt_kpts: np.ndarray, pred_kpts: np.ndarray, areas: np.ndarray,
     return (np.exp(-e) * vis).sum(-1) / (vis.sum(-1) + eps)
 
 
+class PoseMetrics(DetMetrics):
+    """Box + keypoint metrics (reference metrics.py PoseMetrics)."""
+
+    def __init__(self, names=None):
+        super().__init__(names=names)
+        self.pose = Metric()
+        self.pose.nc = len(self.names)
+
+    def process(self, tp, tp_p, conf, pred_cls, target_cls):
+        super().process(tp, conf, pred_cls, target_cls)
+        self.pose.nc = len(self.names)
+        self.pose.update(ap_per_class(tp_p, conf, pred_cls, target_cls))
+
+    @property
+    def keys(self):
+        return super().keys + ["metrics/mAP50(P)", "metrics/mAP50-95(P)"]
+
+    def mean_results(self):
+        return super().mean_results() + [self.pose.map50, self.pose.map]
+
+
 class PoseValidator(DetectionValidator):
     """Evaluate a Pose-head model: box mAP + OKS keypoint mAP.
 
-    Keypoint TP matching runs over OKS thresholds 0.5:0.95 through the same
-    match_predictions machinery (reference pose/val.py)."""
+    The forward, decode, NMS, and per-detection keypoint decode+gather run in
+    one jitted graph; the host matches keypoints by OKS over thresholds
+    0.5:0.95 through the same match_predictions machinery
+    (reference pose/val.py)."""
 
-    def kpt_tp(self, d, pred_kpts, gt_cls, gt_kpts, gt_areas):
-        sim = oks(gt_kpts, pred_kpts, gt_areas)
-        return match_predictions(d[:, 5], gt_cls, sim)
+    def _build_fn(self, model, conf: float, iou: float, max_det: int):
+        if self._jit_fn is None:
+            half = self.args.half
+            K, D = model.kpt_shape
+
+            @jax.jit
+            def fn(variables, x):
+                from yolo_sod_tpu.ops.boxes import make_anchors
+
+                x = x.astype(jnp.bfloat16 if half else jnp.float32)
+                det_maps, kpt_maps = model.net.apply(variables, x, train=False)
+                preds = decode_detections(det_maps, model.graph.detect_strides,
+                                          model.nc)
+                det, n, kept = non_max_suppression(
+                    preds, conf_thres=conf, iou_thres=iou, multi_label=True,
+                    max_det=max_det, return_idx=True)
+                B = x.shape[0]
+                kpts = jnp.concatenate(
+                    [k.reshape(B, -1, K * D) for k in kpt_maps], 1)
+                kpts = kpts.reshape(B, -1, K, D).astype(jnp.float32)
+                hw = [(f.shape[1], f.shape[2]) for f in det_maps]
+                anchors, stride_t = make_anchors(hw, model.graph.detect_strides)
+                xy = (kpts[..., :2] * 2.0 +
+                      (anchors[None, :, None, :] - 0.5)) * stride_t[None, :, None, :]
+                vis = jax.nn.sigmoid(kpts[..., 2:3]) if D == 3 \
+                    else jnp.ones_like(kpts[..., :1])
+                dec = jnp.concatenate([xy, vis], -1)              # (B, A, K, 3)
+                safe = jnp.clip(kept, 0, dec.shape[1] - 1)
+                sel = jnp.take_along_axis(dec, safe[..., None, None], 1)
+                return det, n, sel
+            self._jit_fn = fn
+        return self._jit_fn
+
+    def __call__(self, model=None, variables=None, data=None):
+        args = self.args
+        variables = variables if variables is not None else model.variables
+        if data is None:
+            data = check_det_dataset(args.data)
+        names = data.get("names", {})
+        if self.dataloader is None:
+            cfg = dict(vars(args))
+            dataset = build_yolo_dataset(cfg, data["val"], args.batch, data,
+                                         mode="val", stride=int(max(model.stride)),
+                                         task="pose")
+            self.dataloader = build_dataloader(dataset, args.batch, shuffle=False)
+
+        conf = args.conf if args.conf not in (None, 0) else 0.001
+        fn = self._build_fn(model, conf, args.iou, args.max_det)
+        imgsz = args.imgsz
+
+        metrics = PoseMetrics(names=names)
+        stats = {"tp": [], "tp_p": [], "conf": [], "pred_cls": [], "target_cls": []}
+        B = self.dataloader.batch_size
+        n_images = 0
+        for batch in self.dataloader:
+            img = batch["img"]
+            nb = img.shape[0]
+            if nb < B:
+                img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
+            det, n_valid, kpts = fn(variables, jnp.asarray(img))
+            det = np.asarray(jax.device_get(det))
+            n_valid = np.asarray(jax.device_get(n_valid))
+            kpts = np.asarray(jax.device_get(kpts))
+            for bi in range(nb):
+                n_images += 1
+                d = det[bi][: n_valid[bi]]
+                pk = kpts[bi][: n_valid[bi]]
+                m = batch["mask_gt"][bi] > 0
+                gt_cls = batch["cls"][bi][m]
+                gt_xywhn = np.concatenate([gt_cls[:, None],
+                                           batch["bboxes"][bi][m]], axis=1)
+                gt_xyxy = xywhn2xyxy(gt_xywhn, imgsz, imgsz)[:, 1:]
+                gt_kpts = batch["keypoints"][bi][m].copy()
+                gt_kpts[..., 0] *= imgsz
+                gt_kpts[..., 1] *= imgsz
+                # OKS area = 0.53 * box area (reference pose/val.py contract).
+                areas = ((gt_xyxy[:, 2] - gt_xyxy[:, 0]) *
+                         (gt_xyxy[:, 3] - gt_xyxy[:, 1]) * 0.53)
+                stats["target_cls"].append(gt_cls)
+                if len(d) == 0:
+                    continue
+                iou_b = box_iou(gt_xyxy, d[:, :4])
+                sim = oks(gt_kpts, pk, areas)
+                stats["tp"].append(match_predictions(d[:, 5], gt_cls, iou_b))
+                stats["tp_p"].append(match_predictions(d[:, 5], gt_cls, sim))
+                stats["conf"].append(d[:, 4])
+                stats["pred_cls"].append(d[:, 5])
+
+        if stats["tp"]:
+            metrics.process(np.concatenate(stats["tp"]),
+                            np.concatenate(stats["tp_p"]),
+                            np.concatenate(stats["conf"]),
+                            np.concatenate(stats["pred_cls"]),
+                            np.concatenate(stats["target_cls"]))
+        r = metrics.mean_results()
+        LOGGER.info(f"{colorstr('val(pose):')} {n_images} images  "
+                    f"box mAP50={r[2]:.4f} mAP={r[3]:.4f}  "
+                    f"kpt mAP50={r[4]:.4f} mAP={r[5]:.4f}")
+        return metrics
+
+
+class OBBValidator(DetectionValidator):
+    """Evaluate an OBB-head model: rotated-box mAP via ProbIoU matching
+    (reference models/yolo/obb/val.py — probiou replaces box_iou in the
+    10-threshold TP matcher)."""
+
+    def _build_fn(self, model, conf: float, iou: float, max_det: int):
+        if self._jit_fn is None:
+            half = self.args.half
+
+            @jax.jit
+            def fn(variables, x):
+                x = x.astype(jnp.bfloat16 if half else jnp.float32)
+                det_maps, angle_maps = model.net.apply(variables, x, train=False)
+                preds = decode_detections(det_maps, model.graph.detect_strides,
+                                          model.nc)
+                det, n, kept = non_max_suppression(
+                    preds, conf_thres=conf, iou_thres=iou, multi_label=True,
+                    max_det=max_det, return_idx=True)
+                B = x.shape[0]
+                angles = jnp.concatenate(
+                    [a.reshape(B, -1) for a in angle_maps], 1)
+                safe = jnp.clip(kept, 0, angles.shape[1] - 1)
+                sel_ang = jnp.take_along_axis(angles, safe, 1)
+                sel_xywh = jnp.take_along_axis(
+                    preds[..., :4].astype(jnp.float32), safe[..., None], 1)
+                return det, n, sel_xywh, sel_ang
+            self._jit_fn = fn
+        return self._jit_fn
+
+    def __call__(self, model=None, variables=None, data=None):
+        from yolo_sod_tpu.ops.boxes import probiou
+
+        args = self.args
+        variables = variables if variables is not None else model.variables
+        if data is None:
+            data = check_det_dataset(args.data)
+        names = data.get("names", {})
+        if self.dataloader is None:
+            cfg = dict(vars(args))
+            dataset = build_yolo_dataset(cfg, data["val"], args.batch, data,
+                                         mode="val", stride=int(max(model.stride)),
+                                         task="obb")
+            self.dataloader = build_dataloader(dataset, args.batch, shuffle=False)
+
+        conf = args.conf if args.conf not in (None, 0) else 0.001
+        fn = self._build_fn(model, conf, args.iou, args.max_det)
+        imgsz = args.imgsz
+
+        metrics = DetMetrics(names=names)
+        stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        B = self.dataloader.batch_size
+        n_images = 0
+        for batch in self.dataloader:
+            img = batch["img"]
+            nb = img.shape[0]
+            if nb < B:
+                img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
+            det, n_valid, xywh, ang = fn(variables, jnp.asarray(img))
+            det = np.asarray(jax.device_get(det))
+            n_valid = np.asarray(jax.device_get(n_valid))
+            xywh = np.asarray(jax.device_get(xywh))
+            ang = np.asarray(jax.device_get(ang))
+            for bi in range(nb):
+                n_images += 1
+                nv = n_valid[bi]
+                d = det[bi][:nv]
+                m = batch["mask_gt"][bi] > 0
+                gt_cls = batch["cls"][bi][m]
+                # bboxes carry the ROTATED rect for the obb task.
+                gt_rb = np.concatenate(
+                    [batch["bboxes"][bi][m] * imgsz,
+                     batch["angles"][bi][m][:, None]], 1)
+                stats["target_cls"].append(gt_cls)
+                if len(d) == 0:
+                    continue
+                pred_rb = np.concatenate([xywh[bi][:nv], ang[bi][:nv, None]], 1)
+                sim = np.asarray(probiou(jnp.asarray(gt_rb)[:, None],
+                                         jnp.asarray(pred_rb)[None]))
+                stats["tp"].append(match_predictions(d[:, 5], gt_cls, sim))
+                stats["conf"].append(d[:, 4])
+                stats["pred_cls"].append(d[:, 5])
+
+        if stats["tp"]:
+            metrics.process(np.concatenate(stats["tp"]),
+                            np.concatenate(stats["conf"]),
+                            np.concatenate(stats["pred_cls"]),
+                            np.concatenate(stats["target_cls"]))
+        r = metrics.mean_results()
+        LOGGER.info(f"{colorstr('val(obb):')} {n_images} images  "
+                    f"rbox mAP50={r[2]:.4f} mAP={r[3]:.4f}")
+        return metrics

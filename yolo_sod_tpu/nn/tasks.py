@@ -245,6 +245,11 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
                 detect_index, detect_strides = i, det_strides
             elif name == "RTDETRDecoder":
                 kwargs = {"nc": args[0] if args else nc, "ch": in_chs}
+                # optional size overrides [nc, hd, nq, ndl] (tiny-test/model-
+                # family scaling; upstream hardcodes 256/300/6)
+                for j, key in ((1, "hd"), (2, "nq"), (3, "ndl")):
+                    if len(args) > j:
+                        kwargs[key] = int(args[j])
                 args = []
                 detect_index, detect_strides = i, det_strides
             elif name in ("Segment", "Pose", "OBB"):
@@ -487,3 +492,66 @@ class ClassificationModel(DetectionModel):
     def predict(self, variables, x):
         logits = self.net.apply(variables, x, train=False)
         return jax.nn.softmax(logits, axis=-1)
+
+
+class SegmentationModel(DetectionModel):
+    """Detect + instance masks (reference tasks.py SegmentationModel).
+    predict() returns the decoded detect part; the Segment predictor/validator
+    pull coefficients + prototypes through apply()."""
+
+    def __init__(self, cfg="yolov12-seg.yaml", ch: int = 3,
+                 nc: Optional[int] = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+        self.task = "segment"
+
+
+class PoseModel(DetectionModel):
+    """Detect + keypoints (reference tasks.py PoseModel)."""
+
+    def __init__(self, cfg="yolov12-pose.yaml", ch: int = 3,
+                 nc: Optional[int] = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+        self.task = "pose"
+
+    @property
+    def kpt_shape(self):
+        spec = self.graph.specs[self.graph.detect_index]
+        return dict(spec.kwargs).get("kpt_shape", (17, 3))
+
+
+class OBBModel(DetectionModel):
+    """Detect + oriented boxes (reference tasks.py OBBModel)."""
+
+    def __init__(self, cfg="yolov12-obb.yaml", ch: int = 3,
+                 nc: Optional[int] = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+        self.task = "obb"
+
+
+_HEAD2TASK = {"Segment": "segment", "Pose": "pose", "OBB": "obb",
+              "Classify": "classify"}
+
+
+def guess_model_task(cfg) -> str:
+    """Infer the task from a model YAML: head-module sniff first (reference
+    guess_model_task tasks.py:1206 reads the config's last head row), then a
+    filename suffix sniff."""
+    name = ""
+    try:
+        d = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        rows = list(d.get("head", [])) or list(d.get("backbone", []))
+        for row in reversed(rows):
+            m = row[2] if isinstance(row[2], str) else row[2].__name__
+            if m in _HEAD2TASK:
+                return _HEAD2TASK[m]
+            if m in ("Detect", "DetectStable", "v10Detect", "RTDETRDecoder"):
+                return "detect"
+        name = str(d.get("yaml_file", ""))
+    except (FileNotFoundError, KeyError, TypeError, IndexError):
+        name = str(cfg)
+    stem = Path(name).stem.lower()
+    for suffix, task in (("-cls", "classify"), ("-seg", "segment"),
+                         ("-pose", "pose"), ("-obb", "obb")):
+        if suffix in stem:
+            return task
+    return "detect"
