@@ -106,14 +106,18 @@ class TaskAlignedAssigner:
         align = jnp.where(valid, align, 0.0)
         overlaps = jnp.where(valid, overlaps, 0.0)
 
-        # Top-k per GT (select_topk_candidates, reference :158-192).
+        # Top-k per GT (select_topk_candidates, reference :158-192). The
+        # reference's topk_mask is mask_gt expanded over k — every top-k
+        # entry of a VALID GT counts, including zero-metric anchors (their
+        # CIoU clamps to 0 early in training); padded GT rows drop via the
+        # `valid` intersection. The reference's scatter-count dedup never
+        # triggers (top_k indices are distinct), so plain membership is exact.
         k = min(self.topk, A)
-        topk_vals, topk_idx = jax.lax.top_k(align, k)            # (B, M, k)
-        topk_valid = topk_vals > self.eps
+        _, topk_idx = jax.lax.top_k(align, k)                    # (B, M, k)
         mask_topk = jnp.zeros_like(align, dtype=bool)
         mask_topk = jax.vmap(jax.vmap(
-            lambda m, idx, v: m.at[idx].set(v, mode="drop")
-        ))(mask_topk, topk_idx, topk_valid)
+            lambda m, idx: m.at[idx].set(True, mode="drop")
+        ))(mask_topk, topk_idx)
 
         mask_pos = (mask_topk & valid).astype(align.dtype)       # (B, M, A)
         target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(mask_pos, overlaps, M)
