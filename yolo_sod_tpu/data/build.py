@@ -98,20 +98,38 @@ class DataLoader:
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+        return len(self._epoch_batches())
 
-    def _epoch_indices(self) -> np.ndarray:
+    def _epoch_batches(self) -> list[np.ndarray]:
+        """Index batches for one epoch. Rect datasets group by letterbox
+        bucket so every batch stacks to one static shape (the reference's
+        aspect-ratio-sorted rect batching, TPU-bucketed)."""
+        shapes = getattr(self.dataset, "rect_shapes", None)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if shapes is not None:
+            groups: dict[tuple, list[int]] = {}
+            for i, s in enumerate(shapes):
+                groups.setdefault(tuple(s), []).append(i)
+            batches = []
+            for g in groups.values():
+                g = np.asarray(g)
+                if self.shuffle:
+                    rng.shuffle(g)
+                batches += [g[i: i + self.batch_size]
+                            for i in range(0, len(g), self.batch_size)]
+            return batches
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
-        return idx
+            rng.shuffle(idx)
+        n = len(idx) if not self.drop_last else \
+            len(idx) // self.batch_size * self.batch_size
+        return [idx[i: i + self.batch_size]
+                for i in range(0, n, self.batch_size) if i < n]
 
     def __iter__(self):
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(self.epoch)
-        idx = self._epoch_indices()
-        nb = len(self)
+        batches = self._epoch_batches()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -122,12 +140,11 @@ class DataLoader:
 
             with ThreadPoolExecutor(max_workers=4) as pool:
                 try:
-                    for b in range(nb):
+                    for sel in batches:
                         if stop.is_set():
                             return
-                        sel = idx[b * self.batch_size: (b + 1) * self.batch_size]
                         if len(sel) == 0:
-                            break
+                            continue
                         items = list(pool.map(self.dataset.__getitem__,
                                               [int(i) for i in sel]))
                         q.put(collate(items, self.max_boxes))
@@ -165,7 +182,10 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         imgsz=cfg["imgsz"] if isinstance(cfg, dict) else cfg.imgsz,
         augment=augment,
         hyp=hyp,
-        rect=(cfg.get("rect", False) if isinstance(cfg, dict) else cfg.rect) and mode == "val",
+        # Reference detect/train.py build_dataset: val datasets are rect
+        # (aspect-grouped buckets); train stays square for the mosaic canvas.
+        rect=(mode == "val") or bool(cfg.get("rect", False) if isinstance(cfg, dict)
+                                     else cfg.rect),
         stride=stride,
         single_cls=cfg.get("single_cls", False) if isinstance(cfg, dict) else cfg.single_cls,
         fraction=(cfg.get("fraction", 1.0) if isinstance(cfg, dict) else cfg.fraction) if mode == "train" else 1.0,

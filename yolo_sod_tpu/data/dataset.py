@@ -91,8 +91,42 @@ class YOLODataset:
         self.epoch = 0   # bumped by the loader; salts per-item RNG
         self.cache = "ram" if cache in (True, "ram", "True") else None
         self._im_cache = [None] * len(self.im_files) if self.cache else None
+        if task != "detect":
+            # seg masks / kpt val run at the square canvas for now
+            self.rect = False
+        self.rect_shapes = self._compute_rect_shapes() \
+            if (self.rect and not self.augment) else None
         n_boxes = sum(len(l) for l in self.labels)
         LOGGER.info(f"dataset: {len(self.im_files)} images, {n_boxes} boxes ({img_path})")
+
+    def _compute_rect_shapes(self, granularity: int = 64):
+        """Aspect-grouped letterbox targets, quantized to a bounded bucket set.
+
+        The reference's rect val computes a continuous per-batch shape
+        (detect/val.py rect path) — on TPU every distinct shape is a compile,
+        so the short side quantizes UP to `granularity` (>= stride) instead:
+        at 640 that is <= 10 buckets per orientation, and in practice a val
+        set hits 2-3. Shapes read from image headers (no pixel decode).
+        """
+        shapes = []
+        for f in self.im_files:
+            try:
+                from PIL import Image
+
+                with Image.open(f) as im:
+                    w0, h0 = im.size
+            except Exception:
+                im = cv2.imread(f)
+                h0, w0 = im.shape[:2] if im is not None else (self.imgsz, self.imgsz)
+            g = max(granularity, self.stride)
+            if h0 >= w0:
+                h = self.imgsz
+                w = min(int(np.ceil(self.imgsz * w0 / h0 / g) * g), self.imgsz)
+            else:
+                w = self.imgsz
+                h = min(int(np.ceil(self.imgsz * h0 / w0 / g) * g), self.imgsz)
+            shapes.append((h, w))
+        return shapes
 
     def __len__(self):
         return len(self.im_files)
@@ -213,7 +247,9 @@ class YOLODataset:
             ori_shape = (imgsz, imgsz)
         else:
             img, ori_shape = self.load_image(index)
-            img, r, (dw, dh) = letterbox_np(img, (imgsz, imgsz), scaleup=self.augment)
+            tgt = self.rect_shapes[index] if self.rect_shapes is not None \
+                else (imgsz, imgsz)
+            img, r, (dw, dh) = letterbox_np(img, tgt, scaleup=self.augment)
             ratio_pad = (r, (dw, dh))
             h, w = ori_shape
             labels_xyxy = xywhn2xyxy(self.labels[index], round(w * r), round(h * r), dw, dh)

@@ -98,9 +98,10 @@ class DetectionValidator:
         for batch in self.dataloader:
             img = batch["img"]
             nb = img.shape[0]
-            if nb < B:  # pad final partial batch to the compiled shape
+            if nb < B:  # pad final partial batch to the compiled bucket shape
                 pad = np.repeat(img[-1:], B - nb, axis=0)
                 img = np.concatenate([img, pad], axis=0)
+            h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
             t0 = time.perf_counter()
             det, n_valid = fn(dev_variables, jnp.asarray(img))
             det = np.asarray(jax.device_get(det))
@@ -115,7 +116,7 @@ class DetectionValidator:
                 m = batch["mask_gt"][bi] > 0
                 gt_cls = batch["cls"][bi][m]
                 gt_xywhn = np.concatenate([gt_cls[:, None], batch["bboxes"][bi][m]], axis=1)
-                gt_xyxy = xywhn2xyxy(gt_xywhn, imgsz, imgsz)[:, 1:]
+                gt_xyxy = xywhn2xyxy(gt_xywhn, w_im, h_im)[:, 1:]
                 stats["target_cls"].append(gt_cls)
                 if len(d) == 0:
                     if len(gt_cls):
