@@ -1,0 +1,162 @@
+"""Sidecar completeness: real GMC methods, the full solutions menu,
+import-guarded logger integrations, ATSS targets (VERDICT Missing #7-10)."""
+
+import numpy as np
+import pytest
+
+
+# -- GMC -----------------------------------------------------------------------
+def _shifted_frames(dx: int = 6, dy: int = 3, size: int = 200):
+    """Two structured frames related by a pure translation: smooth gradient
+    background + blobs (corner features for orb/sift/flow, intensity
+    gradients for ECC)."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    S = size + 40
+    gy, gx = np.mgrid[0:S, 0:S]
+    big = ((gx + gy) * 255 / (2 * S)).astype(np.uint8)
+    big = cv2.cvtColor(big, cv2.COLOR_GRAY2BGR)
+    for _ in range(25):
+        c = (int(rng.integers(20, S - 20)), int(rng.integers(20, S - 20)))
+        color = tuple(int(v) for v in rng.integers(0, 255, 3))
+        if rng.random() < 0.5:
+            cv2.circle(big, c, int(rng.integers(5, 15)), color, -1)
+        else:
+            cv2.rectangle(big, c, (c[0] + int(rng.integers(10, 30)),
+                                   c[1] + int(rng.integers(10, 30))), color, -1)
+    big = cv2.GaussianBlur(big, (3, 3), 0.8)
+    f1 = big[20:20 + size, 20:20 + size].copy()
+    f2 = big[20 - dy:20 - dy + size, 20 - dx:20 - dx + size].copy()
+    return f1, f2
+
+
+@pytest.mark.parametrize("method", ["sparseOptFlow", "orb", "sift", "ecc"])
+def test_gmc_recovers_translation(method):
+    from yolo_sod_tpu.trackers.utils.gmc import GMC
+
+    dx, dy = 6, 3
+    f1, f2 = _shifted_frames(dx, dy)
+    gmc = GMC(method=method, downscale=1)
+    gmc.apply(f1)
+    H = gmc.apply(f2)
+    assert H.shape == (2, 3)
+    # translation recovered within 1.5 px (each method has its own estimator)
+    assert abs(H[0, 2] - dx) < 1.5, f"{method}: tx={H[0, 2]} want {dx}"
+    assert abs(H[1, 2] - dy) < 1.5, f"{method}: ty={H[1, 2]} want {dy}"
+
+
+def test_gmc_rejects_unknown_method():
+    from yolo_sod_tpu.trackers.utils.gmc import GMC
+
+    with pytest.raises(ValueError):
+        GMC(method="homography")
+
+
+# -- solutions ------------------------------------------------------------------
+class _FakeYOLO:
+    """Deterministic stand-in model: one box marching right, id 1."""
+
+    def __init__(self):
+        self.x = 10
+
+    def track(self, im0, **kwargs):
+        from yolo_sod_tpu.engine.results import Results
+
+        self.x += 15
+        box = np.array([[self.x, 100, self.x + 40, 160, 0.9, 0.0, 1.0]])
+        return [Results(im0, "frame", {0: "obj"}, boxes=box)]
+
+
+def test_parking_management():
+    from yolo_sod_tpu.solutions import ParkingManagement
+
+    pm = ParkingManagement(model=_FakeYOLO(),
+                           slots=[[(0, 80), (120, 80), (120, 200), (0, 200)],
+                                  [(400, 80), (520, 80), (520, 200), (400, 200)]])
+    img = np.zeros((300, 600, 3), np.uint8)
+    pm.process_data(img)     # box center x=45 -> slot 1 occupied
+    assert pm.pr_info == {"Occupancy": 1, "Available": 1}
+
+
+def test_trackzone():
+    from yolo_sod_tpu.solutions import TrackZone
+
+    tz = TrackZone(model=_FakeYOLO(), region=[(0, 0), (200, 0), (200, 300), (0, 300)])
+    img = np.zeros((300, 600, 3), np.uint8)
+    tz.trackzone(img)
+    assert tz.n_tracked == 1
+
+
+def test_security_alarm():
+    from yolo_sod_tpu.solutions import SecurityAlarm
+
+    sa = SecurityAlarm(model=_FakeYOLO(), records=1)
+    img = np.zeros((300, 600, 3), np.uint8)
+    sa.monitor(img)
+    assert sa.alerts == 1 and sa.email_sent
+    sa.monitor(img)          # still >= threshold, no re-alert
+    assert sa.alerts == 1
+
+
+def test_analytics_counts_and_chart():
+    from yolo_sod_tpu.solutions import Analytics
+
+    an = Analytics(model=_FakeYOLO(), analytics_type="line")
+    img = np.zeros((200, 300, 3), np.uint8)
+    chart = an.process_data(img)
+    assert an.history == [{0: 1}]
+    if chart is not None:    # matplotlib present
+        assert chart.ndim == 3 and chart.shape[2] == 3
+
+
+def test_streamlit_inference_guarded():
+    from yolo_sod_tpu.solutions import streamlit_inference
+
+    try:
+        import streamlit  # noqa: F401
+        pytest.skip("streamlit present; guard path not reachable")
+    except ImportError:
+        with pytest.raises(ImportError, match="streamlit"):
+            streamlit_inference()
+
+
+# -- logger integrations ----------------------------------------------------------
+def test_integration_callbacks_import_guarded():
+    """wandb/mlflow modules expose empty callbacks when absent; attaching is
+    always safe (reference utils/callbacks contract)."""
+    from yolo_sod_tpu.utils.callbacks import get_default_callbacks
+    from yolo_sod_tpu.utils.callbacks.base import add_integration_callbacks
+
+    class T:
+        callbacks = get_default_callbacks()
+
+    add_integration_callbacks(T())   # must not raise regardless of installs
+    from yolo_sod_tpu.utils.callbacks import mlflow as ml
+    from yolo_sod_tpu.utils.callbacks import wb
+
+    assert isinstance(wb.callbacks, dict)
+    assert isinstance(ml.callbacks, dict)
+
+
+# -- ATSS -------------------------------------------------------------------------
+def test_compute_atss_targets():
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.utils.losses import compute_atss_targets
+
+    # anchors on a line; one GT sits on anchor 3
+    pred = jnp.stack([jnp.arange(10, dtype=jnp.float32) * 10 + 5,
+                      jnp.full(10, 5.0), jnp.full(10, 10.0),
+                      jnp.full(10, 10.0)], -1)               # xywh
+    gt = jnp.array([[35.0, 5.0, 10.0, 10.0], [0, 0, 0, 0]])
+    out = compute_atss_targets(pred, gt, jnp.array([2, 0]),
+                               jnp.array([1.0, 0.0]), num_classes=5)
+    w = np.asarray(out["weights"])
+    assert w[3] == 1.0                        # exact-overlap anchor positive
+    assert w.sum() >= 1
+    assert int(out["labels"][3]) == 2
+    np.testing.assert_allclose(np.asarray(out["bbox_targets"][3]),
+                               [35, 5, 10, 10])
+    # padded GT row contributes nothing
+    assert np.asarray(out["bbox_targets"])[w == 0].sum() == 0

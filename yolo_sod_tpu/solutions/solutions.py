@@ -266,3 +266,189 @@ class AIGym(BaseSolution):
                 self.stage[tid] = "up"
                 self.count[tid] += 1
         return self.count
+
+
+class Analytics(BaseSolution):
+    """Live class-count analytics charts (reference solutions/analytics.py):
+    per-frame detection counts rendered as a line/bar/pie/area chart image.
+    Chart rendering needs matplotlib (import-guarded); the count history is
+    always maintained so headless pipelines can consume `self.history`."""
+
+    def __init__(self, analytics_type: str = "line", max_points: int = 45,
+                 **kwargs):
+        super().__init__(**kwargs)
+        if analytics_type not in ("line", "bar", "pie", "area"):
+            raise ValueError(f"unknown analytics_type '{analytics_type}'")
+        self.analytics_type = analytics_type
+        self.max_points = max_points
+        self.history: list[dict[int, int]] = []   # per-frame {cls: count}
+
+    def process_data(self, im0, frame_number: int | None = None):
+        boxes, cls, ids = self.extract_tracks(im0)
+        counts: dict[int, int] = defaultdict(int)
+        for c in np.asarray(cls).astype(int):
+            counts[int(c)] += 1
+        self.history.append(dict(counts))
+        if len(self.history) > self.max_points:
+            self.history.pop(0)
+        return self._render(im0.shape[1], im0.shape[0])
+
+    __call__ = process_data
+
+    def _render(self, w: int, h: int):
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            LOGGER.warning("Analytics: matplotlib unavailable, returning None chart")
+            return None
+        classes = sorted({c for f in self.history for c in f})
+        fig, ax = plt.subplots(figsize=(w / 100, h / 100), dpi=100)
+        xs = range(len(self.history))
+        if self.analytics_type == "pie" and self.history:
+            totals = [sum(f.get(c, 0) for f in self.history) for c in classes]
+            if sum(totals):
+                ax.pie(totals, labels=[str(c) for c in classes])
+        else:
+            for c in classes:
+                ys = [f.get(c, 0) for f in self.history]
+                if self.analytics_type == "bar":
+                    ax.bar(xs, ys, label=str(c), alpha=0.6)
+                elif self.analytics_type == "area":
+                    ax.fill_between(xs, ys, label=str(c), alpha=0.5)
+                else:
+                    ax.plot(xs, ys, label=str(c), marker="o")
+            if classes:
+                ax.legend()
+        fig.canvas.draw()
+        img = np.asarray(fig.canvas.buffer_rgba())[..., :3][..., ::-1].copy()
+        plt.close(fig)
+        return img
+
+
+class ParkingManagement(BaseSolution):
+    """Parking-slot occupancy (reference solutions/parking_management.py):
+    polygon slots (from a JSON file or a list) marked occupied when a
+    detection center lies inside. `pr_info` carries the live counts."""
+
+    def __init__(self, json_file: str | None = None, slots=None, **kwargs):
+        super().__init__(**kwargs)
+        if json_file is not None:
+            import json
+
+            with open(json_file) as f:
+                slots = [s["points"] for s in json.load(f)]
+        self.slots = [np.array(s, np.float32) for s in (slots or [])]
+        self.pr_info = {"Occupancy": 0, "Available": len(self.slots)}
+
+    def process_data(self, im0):
+        import cv2
+
+        boxes, cls, ids = self.extract_tracks(im0)
+        centers = [((float(b[0]) + float(b[2])) / 2,
+                    (float(b[1]) + float(b[3])) / 2) for b in boxes]
+        occupied = 0
+        for poly in self.slots:
+            if any(cv2.pointPolygonTest(poly, c, False) >= 0 for c in centers):
+                occupied += 1
+                cv2.polylines(im0, [poly.astype(np.int32)], True, (0, 0, 255), 2)
+            else:
+                cv2.polylines(im0, [poly.astype(np.int32)], True, (0, 255, 0), 2)
+        self.pr_info = {"Occupancy": occupied,
+                        "Available": len(self.slots) - occupied}
+        return im0
+
+    __call__ = process_data
+
+
+class SecurityAlarm(BaseSolution):
+    """Alert when the detection count crosses a threshold
+    (reference solutions/security_alarm.py). Email delivery is an optional
+    smtplib hook (authenticate() then records trigger send); without it the
+    alarm state is still tracked for the caller."""
+
+    def __init__(self, records: int = 5, **kwargs):
+        super().__init__(**kwargs)
+        self.records = records
+        self.email_sent = False
+        self.alerts = 0
+        self._smtp = None
+        self._to = None
+
+    def authenticate(self, from_email: str, password: str, to_email: str,
+                     server: str = "smtp.gmail.com", port: int = 465):
+        import smtplib
+
+        self._smtp = smtplib.SMTP_SSL(server, port)
+        self._smtp.login(from_email, password)
+        self._from, self._to = from_email, to_email
+
+    def monitor(self, im0):
+        boxes, cls, ids = self.extract_tracks(im0)
+        n = len(boxes)
+        if n >= self.records and not self.email_sent:
+            self.alerts += 1
+            self.email_sent = True
+            if self._smtp is not None:
+                from email.mime.text import MIMEText
+
+                msg = MIMEText(f"Security alert: {n} objects detected")
+                msg["Subject"] = "Security Alert"
+                msg["From"], msg["To"] = self._from, self._to
+                self._smtp.send_message(msg)
+            if self.verbose:
+                LOGGER.info(f"security alarm: {n} objects (threshold {self.records})")
+        elif n < self.records:
+            self.email_sent = False
+        return im0
+
+    __call__ = monitor
+
+
+class TrackZone(BaseSolution):
+    """Track objects only inside a zone polygon
+    (reference solutions/trackzone.py): pixels outside the zone are blanked
+    before inference, so detection/tracking is confined to the region."""
+
+    def __init__(self, region=None, **kwargs):
+        super().__init__(**kwargs)
+        self.region = np.array(region or [(150, 150), (1130, 150),
+                                          (1130, 570), (150, 570)], np.int32)
+        self.n_tracked = 0
+
+    def trackzone(self, im0):
+        import cv2
+
+        mask = np.zeros_like(im0[..., 0])
+        cv2.fillPoly(mask, [self.region], 255)
+        masked = cv2.bitwise_and(im0, im0, mask=mask)
+        boxes, cls, ids = self.extract_tracks(masked)
+        self.n_tracked = len(boxes)
+        cv2.polylines(im0, [self.region], True, (255, 255, 255), 2)
+        return im0
+
+    __call__ = trackzone
+
+
+def streamlit_inference(model="yolov12-sod-fusion-v5-simple.yaml"):
+    """Streamlit webcam/video inference app
+    (reference solutions/streamlit_inference.py). Requires streamlit, which
+    is not baked into this image — import-guarded with guidance."""
+    try:
+        import streamlit as st
+    except ImportError as e:
+        raise ImportError(
+            "streamlit is required for the web inference app: run "
+            "`pip install streamlit` in a networked environment, or use "
+            "app.py (Gradio) which ships in-image") from e
+
+    from yolo_sod_tpu import YOLO
+
+    st.title("yolo-sod-tpu inference")
+    source = st.text_input("source", "0")
+    conf = st.slider("confidence", 0.0, 1.0, 0.25)
+    if st.button("Run"):
+        yolo = YOLO(model)
+        for r in yolo.predict(source, conf=conf, stream=True):
+            st.image(r.plot(), channels="BGR")

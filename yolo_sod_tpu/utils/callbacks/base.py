@@ -37,16 +37,18 @@ def get_default_callbacks() -> dict:
 
 
 def add_integration_callbacks(instance) -> None:
-    """Attach enabled logger integrations (tensorboard et al.).
-
-    The reference loads 10 integrations (utils/callbacks/*); here tensorboard
-    attaches when the package is importable, others are opt-in stubs.
-    """
-    try:
-        from yolo_sod_tpu.utils.callbacks import tensorboard as tb
-
-        for event, fn in tb.callbacks.items():
+    """Attach enabled logger integrations, each import-guarded
+    (reference utils/callbacks/* loads 10; tensorboard/wandb/mlflow cover
+    the ones with any real usage — each module exposes an empty `callbacks`
+    dict when its package is absent, so attaching is a no-op)."""
+    modules = []
+    for name in ("tensorboard", "wb", "mlflow"):
+        try:
+            modules.append(__import__(f"yolo_sod_tpu.utils.callbacks.{name}",
+                                      fromlist=["callbacks"]))
+        except Exception:
+            pass
+    for mod in modules:
+        for event, fn in getattr(mod, "callbacks", {}).items():
             if fn not in instance.callbacks[event]:
                 instance.callbacks[event].append(fn)
-    except Exception:
-        pass

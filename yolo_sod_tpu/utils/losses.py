@@ -227,3 +227,47 @@ class RFLATaskAlignedAssigner(TaskAlignedAssigner):
                 / (align_pos.max(-1, keepdims=True) + self.eps)).max(-2)
         target_scores = one_hot * norm[..., None]
         return target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx
+
+
+def compute_atss_targets(pred_boxes, gt_boxes, gt_labels, mask_gt,
+                         num_classes: int, topk: int = 9):
+    """ATSS target assignment (reference utils/loss_mf.py:185-253, the MF
+    kit's simplified Adaptive Training Sample Selection) — jit-safe.
+
+    For each GT, the top-k anchors by IoU are candidates; the dynamic
+    positivity threshold is mean+std of those candidate IoUs; multi-GT
+    conflicts resolve to the max-IoU GT.
+
+    Args:
+        pred_boxes: (N, 4) xywh predictions.
+        gt_boxes: (M, 4) xywh, zero-padded.
+        gt_labels: (M,) int class ids.
+        mask_gt: (M,) validity 0/1.
+        num_classes: class count.
+        topk: candidates per GT (reference hardcodes 9).
+
+    Returns:
+        dict(labels (N,), bbox_targets (N, 4), weights (N,)).
+    """
+    N = pred_boxes.shape[0]
+    M = gt_boxes.shape[0]
+    valid = mask_gt.astype(jnp.float32)                       # (M,)
+    ious = bbox_iou(pred_boxes[:, None], gt_boxes[None], xywh=True)[..., 0]
+    ious = ious * valid[None]                                 # (N, M)
+
+    k = min(topk, N)
+    topk_ious, topk_idx = jax.lax.top_k(ious.T, k)            # (M, k)
+    thr = topk_ious.mean(-1) + topk_ious.std(-1)              # (M,)
+
+    # candidate mask via scatter: anchor n positive for GT m if it is one of
+    # m's top-k AND its IoU >= m's dynamic threshold
+    cand = jax.vmap(lambda row_idx: jnp.zeros(N, bool).at[row_idx].set(True))(
+        topk_idx)                                             # (M, N)
+    positive = cand.T & (ious >= thr[None]) & (valid[None] > 0)   # (N, M)
+
+    is_pos = positive.any(-1)
+    matched = ious.argmax(-1)                                 # (N,) max-IoU GT
+    labels = jnp.where(is_pos, gt_labels.astype(jnp.int32)[matched], 0)
+    bbox_targets = jnp.where(is_pos[:, None], gt_boxes[matched], 0.0)
+    weights = is_pos.astype(jnp.float32)
+    return {"labels": labels, "bbox_targets": bbox_targets, "weights": weights}
