@@ -43,10 +43,10 @@ REF_GFLOPS_PER_IMG = 41.5e9    # reference model FLOPs (README.md:116)
 
 def _chip_peak() -> tuple[float, str]:
     kind = jax.devices()[0].device_kind
-    for k, v in CHIP_PEAK_BF16.items():
-        if kind.lower().startswith(k.lower()):
-            return v, kind
-    return 197e12, kind        # conservative default: v5e
+    # longest prefix wins ("TPU v5 lite" must not match the "TPU v5" v5p row)
+    best = max((k for k in CHIP_PEAK_BF16 if kind.lower().startswith(k.lower())),
+               key=len, default=None)
+    return (CHIP_PEAK_BF16[best] if best else 197e12), kind
 
 
 def _flops_per_img(compiled, batch: int) -> float:
