@@ -23,11 +23,18 @@ img/s/chip + p50 + MFU is the deliverable (BASELINE.md:28-31).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent XLA compile cache: the flagship graph takes minutes to compile
+# cold under the axon tunnel; cache it across bench/profile invocations.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # bf16 peak FLOP/s per chip by device kind (public TPU specs).
 CHIP_PEAK_BF16 = {

@@ -177,6 +177,36 @@ def test_fused_mhsa_dispatch_cpu():
     assert out.shape == (2, 16, 8)
 
 
+def test_sage_attention_int8_close_to_fp_interpret():
+    """INT8 quantized attention stays within the SageAttention accuracy
+    regime (~1e-2) of the fp reference, incl. ragged KV-padding masking."""
+    from yolo_sod_tpu.ops.pallas_attention_int8 import sage_attention
+
+    rng = np.random.default_rng(7)
+    BH, Lq, Lk, D = 2, 100, 150, 32
+    q = jnp.asarray(rng.standard_normal((BH, Lq, D)), jnp.float32)
+    # Biased K exercises the smoothing step (mean-subtraction invariance).
+    k = jnp.asarray(rng.standard_normal((BH, Lk, D)) + 3.0, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((BH, Lk, D)), jnp.float32)
+    ref = jnp.einsum("bqk,bkd->bqd",
+                     jax.nn.softmax(jnp.einsum("bqd,bkd->bqk", q, k) * D ** -0.5, -1),
+                     v)
+    got = sage_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).mean()
+    assert err.mean() / scale < 2e-2, err.mean() / scale
+    assert err.max() < 0.25, err.max()
+
+
+def test_sage_attention_env_gate(monkeypatch):
+    from yolo_sod_tpu.ops.pallas_attention_int8 import sage_enabled
+
+    monkeypatch.delenv("YOLO_SOD_SAGE", raising=False)
+    assert not sage_enabled()
+    monkeypatch.setenv("YOLO_SOD_SAGE", "1")
+    assert sage_enabled()
+
+
 def test_pallas_scan_analytic_bwd_matches_ad():
     """Analytic Pallas backward (interpret) == AD of the associative scan."""
     from yolo_sod_tpu.nn.modules.ssm import selective_scan

@@ -132,11 +132,85 @@ def test_integration_callbacks_import_guarded():
         callbacks = get_default_callbacks()
 
     add_integration_callbacks(T())   # must not raise regardless of installs
-    from yolo_sod_tpu.utils.callbacks import mlflow as ml
-    from yolo_sod_tpu.utils.callbacks import wb
+    import importlib
+    for name in ("tensorboard", "wb", "mlflow", "clearml", "comet", "dvc",
+                 "neptune", "raytune"):
+        mod = importlib.import_module(f"yolo_sod_tpu.utils.callbacks.{name}")
+        assert isinstance(mod.callbacks, dict), name
+        for fn in mod.callbacks.values():
+            assert callable(fn), name
 
-    assert isinstance(wb.callbacks, dict)
-    assert isinstance(ml.callbacks, dict)
+
+def test_neptune_callbacks_log_with_fake_package(monkeypatch):
+    """Inject a fake `neptune` package and drive the handlers end-to-end:
+    series appended per epoch, artifacts uploaded, run stopped."""
+    import importlib
+    import sys
+    import types
+    from pathlib import Path
+
+    appended, uploaded, stopped = {}, [], []
+
+    class _Series:
+        def __init__(self, key):
+            self.key = key
+
+        def append(self, value=None, step=None):
+            appended.setdefault(self.key, []).append((value, step))
+
+        def upload(self, path):
+            uploaded.append((self.key, path))
+
+    class _Run(dict):
+        def __getitem__(self, key):
+            return _Series(key)
+
+        def __setitem__(self, key, value):
+            dict.__setitem__(self, key, value)
+
+        def stop(self):
+            stopped.append(True)
+
+    fake = types.ModuleType("neptune")
+    fake.__version__ = "0.0-fake"
+    fake.init_run = lambda **kw: _Run()
+    monkeypatch.setitem(sys.modules, "neptune", fake)
+
+    from yolo_sod_tpu.utils.callbacks import neptune as nep
+    nep = importlib.reload(nep)
+    assert set(nep.callbacks) == {"on_pretrain_routine_start",
+                                  "on_train_epoch_end", "on_fit_epoch_end",
+                                  "on_train_end"}
+
+    class _Args:
+        name = "t"
+
+    class _Best:
+        name = "best.ckpt"
+
+        def exists(self):
+            return False
+
+    class _Trainer:
+        args = _Args()
+        epoch = 0
+        lr = 0.01
+        tloss = None
+        metrics = None
+        save_dir = Path("/nonexistent")
+        best = _Best()
+
+        def label_loss_items(self, x, prefix="train"):
+            return {f"{prefix}/box_loss": 1.5}
+
+    t = _Trainer()
+    nep.callbacks["on_pretrain_routine_start"](t)
+    nep.callbacks["on_train_epoch_end"](t)
+    nep.callbacks["on_train_end"](t)
+    assert appended["train/box_loss"] == [(1.5, 1)]
+    assert appended["lr/pg0"] == [(0.01, 1)]
+    assert stopped == [True]
+    importlib.reload(nep)   # restore real (absent-package) state
 
 
 # -- ATSS -------------------------------------------------------------------------

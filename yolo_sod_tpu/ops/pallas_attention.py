@@ -115,9 +115,14 @@ def _tpu_backend() -> bool:
 
 def fused_mhsa(q, k, v, min_seq_for_pallas: int = 1024, interpret: bool = False):
     """Dispatch: Pallas flash kernel on TPU for long sequences, plain einsum
-    otherwise (tiny windows gain nothing from blocking)."""
+    otherwise (tiny windows gain nothing from blocking). With YOLO_SOD_SAGE=1
+    the INT8 SageAttention-analog kernel is used instead (reference
+    SAGEATTN_ENABLE contract — opt-in, off by default)."""
     BH, Lq, D = q.shape
     if _tpu_backend() and Lq >= min_seq_for_pallas and D % 8 == 0:
+        from yolo_sod_tpu.ops.pallas_attention_int8 import sage_attention, sage_enabled
+        if sage_enabled():
+            return sage_attention(q, k, v)
         return flash_attention(q, k, v)
     s = jnp.einsum("bqd,bkd->bqk", q, k) * (D ** -0.5)
     p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)

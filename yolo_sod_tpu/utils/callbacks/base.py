@@ -38,11 +38,12 @@ def get_default_callbacks() -> dict:
 
 def add_integration_callbacks(instance) -> None:
     """Attach enabled logger integrations, each import-guarded
-    (reference utils/callbacks/* loads 10; tensorboard/wandb/mlflow cover
-    the ones with any real usage — each module exposes an empty `callbacks`
-    dict when its package is absent, so attaching is a no-op)."""
+    (reference utils/callbacks/* — each module exposes an empty `callbacks`
+    dict when its package is absent, so attaching is a no-op; `hub` is a
+    declared non-goal, SURVEY §7)."""
     modules = []
-    for name in ("tensorboard", "wb", "mlflow"):
+    for name in ("tensorboard", "wb", "mlflow", "clearml", "comet", "dvc",
+                 "neptune", "raytune"):
         try:
             modules.append(__import__(f"yolo_sod_tpu.utils.callbacks.{name}",
                                       fromlist=["callbacks"]))
