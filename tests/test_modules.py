@@ -198,6 +198,23 @@ def test_sage_attention_int8_close_to_fp_interpret():
     assert err.max() < 0.25, err.max()
 
 
+def test_window_attention_fused_matches_einsum_interpret():
+    """The small-window kernel (incl. token padding 49->56 and window-batch
+    padding) matches plain attention."""
+    from yolo_sod_tpu.ops.pallas_window_attn import window_attention_fused
+
+    rng = np.random.default_rng(11)
+    BW, L, D = 300, 49, 16          # non-multiple of block_b, sublane-padded L
+    q = jnp.asarray(rng.standard_normal((BW, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((BW, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((BW, L, D)), jnp.float32)
+    ref = jnp.einsum("bqk,bkd->bqd",
+                     jax.nn.softmax(jnp.einsum("bqd,bkd->bqk", q, k) * D ** -0.5, -1),
+                     v)
+    got = window_attention_fused(q, k, v, block_b=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_sage_attention_env_gate(monkeypatch):
     from yolo_sod_tpu.ops.pallas_attention_int8 import sage_enabled
 

@@ -42,8 +42,13 @@ class SE(nn.Module):
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         hidden = max(c // self.reduction, 4)
-        m = jnp.mean(x, axis=(1, 2), keepdims=True).astype(jnp.float32)
-        a = nn.Conv(hidden, (1, 1), use_bias=True, name="fc1")(m)
+        # f32 accumulation inside the reduce only: jnp.mean(x.astype(f32))
+        # materialized a full-resolution f32 copy of the stem activation
+        # (209 MB at 320^2, tools/hlo_bytes.py); summing with an f32
+        # accumulator keeps the convert fused into the reduction.
+        n = x.shape[1] * x.shape[2]
+        m = (jnp.sum(x, axis=(1, 2), keepdims=True, dtype=jnp.float32) / n)
+        a = nn.Conv(hidden, (1, 1), use_bias=True, name="fc1")(m.astype(x.dtype))
         a = jax.nn.relu(a)
         a = nn.Conv(c, (1, 1), use_bias=True, name="fc2")(a)
         a = jax.nn.sigmoid(a).astype(x.dtype)
@@ -151,11 +156,17 @@ class MHSA(nn.Module):
             return t.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                            preferred_element_type=jnp.float32) * (hd ** -0.5)
-        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
-        o = o.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, L, C)
+        # The (bh, L, L) score matrices dominate HBM traffic at P2 scale
+        # (8464 windows x 49^2 — measured 162 MB/tensor in f32,
+        # tools/hlo_bytes.py). windowed_mhsa keeps them in VMEM on TPU via
+        # the fused window kernel, and on other backends falls back to an
+        # einsum chain whose boundary tensors stay at x's dtype.
+        from yolo_sod_tpu.ops.pallas_window_attn import windowed_mhsa
+        o = windowed_mhsa(q.reshape(B * self.num_heads, L, hd),
+                          k.reshape(B * self.num_heads, L, hd),
+                          v.reshape(B * self.num_heads, L, hd))
+        o = o.reshape(B, self.num_heads, L, hd).astype(x.dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(B, L, C)
         return nn.Dense(C, name="out_proj")(o)
 
 

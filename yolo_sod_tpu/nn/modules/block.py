@@ -156,16 +156,19 @@ class SPPF(nn.Module):
 
 
 def _sdpa(q, k, v, head_dim: int):
-    """Scaled dot-product attention over (B, H, N, D) with f32 softmax.
+    """Scaled dot-product attention over (B, H, N, D); f32 MXU accumulation
+    with boundary tensors at the compute dtype (stable low-precision softmax).
 
     This is the TPU analog of the reference's 3-tier attention dispatch
     (block.py:1312-1357 — Sage/flash/manual): one einsum-softmax-einsum chain
     that XLA fuses; a Pallas flash kernel replaces it for long sequences.
     """
+    from yolo_sod_tpu.ops.numerics import stable_softmax_lowp
+
     dtype = q.dtype
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-    logits = logits * (head_dim ** -0.5)
-    attn = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32).astype(dtype)
+    attn = stable_softmax_lowp(logits * (head_dim ** -0.5))
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32).astype(dtype)
 
 

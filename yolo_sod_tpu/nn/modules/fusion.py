@@ -104,8 +104,9 @@ class BiLevelRoutingAttention(nn.Module):
         k_sel, v_sel = gather(k), gather(v)
 
         # Token attention within routed token set — one batched einsum.
+        from yolo_sod_tpu.ops.numerics import stable_softmax_lowp
         attn = jnp.einsum("brtd,brsd->brts", q, k_sel) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        attn = stable_softmax_lowp(attn)
         out = jnp.einsum("brts,brsd->brtd", attn, v_sel)   # (BH, R, T, hd)
 
         out = out.reshape(B, nh, gh, gw, ws, ws, hd)
