@@ -158,15 +158,18 @@ class MHSA(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
         # The (bh, L, L) score matrices dominate HBM traffic at P2 scale
         # (8464 windows x 49^2 — measured 162 MB/tensor in f32,
-        # tools/hlo_bytes.py). windowed_mhsa keeps them in VMEM on TPU via
-        # the fused window kernel, and on other backends falls back to an
-        # einsum chain whose boundary tensors stay at x's dtype.
-        from yolo_sod_tpu.ops.pallas_window_attn import windowed_mhsa
-        o = windowed_mhsa(q.reshape(B * self.num_heads, L, hd),
-                          k.reshape(B * self.num_heads, L, hd),
-                          v.reshape(B * self.num_heads, L, hd))
-        o = o.reshape(B, self.num_heads, L, hd).astype(x.dtype)
-        o = o.transpose(0, 2, 1, 3).reshape(B, L, C)
+        # tools/hlo_bytes.py), so they stay at x's dtype with a
+        # max-subtracted softmax (f32 denominator). Measured on-chip: this
+        # fused-einsum form beats the dedicated window kernel
+        # (ops/pallas_window_attn.py), whose head_dim=16 lane padding
+        # inflates q/k/v/o HBM tensors 8x — see PERF.md.
+        from yolo_sod_tpu.ops.numerics import stable_softmax_lowp
+        logits = (jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                             preferred_element_type=jnp.float32)
+                  * (hd ** -0.5)).astype(x.dtype)
+        attn = stable_softmax_lowp(logits)
+        o = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+        o = o.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, L, C)
         return nn.Dense(C, name="out_proj")(o)
 
 
