@@ -42,13 +42,14 @@ class SE(nn.Module):
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         hidden = max(c // self.reduction, 4)
-        # f32 accumulation inside the reduce only: jnp.mean(x.astype(f32))
-        # materialized a full-resolution f32 copy of the stem activation
-        # (209 MB at 320^2, tools/hlo_bytes.py); summing with an f32
-        # accumulator keeps the convert fused into the reduction.
-        n = x.shape[1] * x.shape[2]
-        m = (jnp.sum(x, axis=(1, 2), keepdims=True, dtype=jnp.float32) / n)
-        a = nn.Conv(hidden, (1, 1), use_bias=True, name="fc1")(m.astype(x.dtype))
+        # GAP at x's dtype: jnp.mean(x.astype(f32)) — and even
+        # sum(dtype=f32) — materializes a full-resolution f32 copy of the
+        # stem activation (209 MB at 320^2; the convert does NOT fuse into
+        # the reduce on TPU — measured, /tmp A/B 0.045 vs 0.025 ms). XLA's
+        # bf16 reduce accumulates wide internally, and the SE gate is
+        # sigmoid-bounded, so low-precision stats are safe here.
+        m = jnp.mean(x, axis=(1, 2), keepdims=True)
+        a = nn.Conv(hidden, (1, 1), use_bias=True, name="fc1")(m)
         a = jax.nn.relu(a)
         a = nn.Conv(c, (1, 1), use_bias=True, name="fc2")(a)
         a = jax.nn.sigmoid(a).astype(x.dtype)
@@ -164,6 +165,11 @@ class MHSA(nn.Module):
         # (ops/pallas_window_attn.py), whose head_dim=16 lane padding
         # inflates q/k/v/o HBM tensors 8x — see PERF.md.
         from yolo_sod_tpu.ops.numerics import stable_softmax_lowp
+        # f32 MXU accumulation with an immediate cast to x's dtype; the
+        # rest of the softmax chain stays low-precision. (A/B'd on-chip:
+        # asking the einsum for bf16 output directly regressed the forward
+        # 24.35 -> 25.19 ms/batch — XLA's batched-matmul lowering prefers
+        # the f32-accum + separate cast form.)
         logits = (jnp.einsum("bhnd,bhmd->bhnm", q, k,
                              preferred_element_type=jnp.float32)
                   * (hd ** -0.5)).astype(x.dtype)
