@@ -164,7 +164,19 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
 
     def loss_fn(params, batch_stats, batch):
         x = batch["img"].astype(compute_dtype)
-        variables = {"params": params, "batch_stats": batch_stats}
+        # Mixed precision, master-weights pattern: the forward consumes a
+        # compute_dtype copy of the params (otherwise f32 params promote
+        # every conv back to f32, silently running the whole step in f32);
+        # autodiff casts grads back to f32 through the astype VJP, and the
+        # optimizer update runs on the f32 masters. BN statistics stay f32
+        # (they live in batch_stats, not params).
+        if compute_dtype != jnp.float32:
+            p_c = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype)
+                if p.dtype == jnp.float32 else p, params)
+        else:
+            p_c = params
+        variables = {"params": p_c, "batch_stats": batch_stats}
         mask = jnp.asarray(active_mask, jnp.float32) if active_mask is not None else None
         out = model.net.apply(variables, x, train=True, active_mask=mask,
                               mutable=["batch_stats"])

@@ -45,6 +45,16 @@ from yolo_sod_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from yolo_sod_tpu.utils.loss import DetectionLoss
 
 
+def _accel_backend() -> bool:
+    """amp=True means bf16 on accelerators only — on CPU, bf16 is emulated
+    and slower, so training stays f32 there (reference check_amp contract:
+    AMP is a GPU feature, checks.py disables it on CPU)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 class EarlyStopping:
     """Fitness-plateau stopper (reference torch_utils.py:713)."""
 
@@ -235,7 +245,8 @@ class DetectionTrainer:
         self.train_step = make_train_step(
             self.model, self.criterion, self.tx, mesh=self.mesh,
             accumulate=self.accumulate,
-            compute_dtype=jnp.bfloat16 if self.args.amp else jnp.float32,
+            compute_dtype=jnp.bfloat16 if (self.args.amp and _accel_backend())
+            else jnp.float32,
             active_mask=self.active_mask)
 
     def set_active_mask(self, mask):

@@ -47,3 +47,29 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put a host batch pytree with the batch dim sharded over `axis`."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def tp_param_sharding(mesh: Mesh, leaf, axis: str = "model",
+                      min_features: int = 64) -> NamedSharding:
+    """Tensor-parallel sharding rule for one parameter leaf.
+
+    Output-feature dimension (last axis of conv HWIO / dense IO kernels)
+    shards over `axis` when it is large enough and divisible; everything
+    else replicates. GSPMD propagates the induced activation shardings and
+    emits the TP collectives — no manual all-gather code (scaling-book
+    recipe: annotate params, let XLA place collectives).
+    """
+    n = mesh.shape[axis]
+    if (getattr(leaf, "ndim", 0) in (2, 4) and leaf.shape[-1] >= min_features
+            and leaf.shape[-1] % n == 0):
+        spec = (None,) * (leaf.ndim - 1) + (axis,)
+        return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def shard_params_tp(params, mesh: Mesh, axis: str = "model",
+                    min_features: int = 64):
+    """Device-put a param pytree with out-features sharded over `axis`."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, tp_param_sharding(mesh, x, axis, min_features)), params)
