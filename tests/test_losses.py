@@ -144,3 +144,45 @@ def test_staged_training_end_to_end():
     assert trainer.active_mask == (1.0, 1.0, 1.0, 1.0)      # P2 opened
     assert np.isfinite(trainer.tloss).all()
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_tal_compressed_matches_dense():
+    """The candidate-compressed TAL tail must reproduce the dense
+    (B, M, A) reference tail exactly — including multi-claim conflict
+    resolution to a non-claimant GT, ties, all-invalid columns, and the
+    per-GT norm maxes — across random crowded scenes."""
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.utils.tal import TaskAlignedAssigner
+
+    rng = np.random.default_rng(0)
+    for trial, (B, M, A_side, nc) in enumerate(
+            [(2, 8, 20, 5), (3, 16, 24, 10), (2, 32, 16, 3), (1, 4, 12, 2)]):
+        A = A_side * A_side
+        xs = (np.arange(A_side) + 0.5) * 8.0
+        anc = np.stack(np.meshgrid(xs, xs), -1).reshape(-1, 2).astype(np.float32)
+        size = A_side * 8.0
+        # crowded, overlapping GT boxes to force multi-claim conflicts
+        cxy = rng.random((B, M, 2)) * size
+        wh = rng.random((B, M, 2)) * size * 0.5 + 8.0
+        gt = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+        gt = np.clip(gt, 0, size)
+        labels = rng.integers(0, nc, (B, M, 1)).astype(np.float32)
+        mask = (rng.random((B, M, 1)) > 0.2).astype(np.float32)
+        gt = gt * mask
+        scores = rng.random((B, A, nc)).astype(np.float32)
+        # predicted boxes near anchors
+        pb = np.concatenate([anc - 20, anc + 20], -1)[None].repeat(B, 0)
+        pb = (pb + rng.normal(0, 5, pb.shape)).astype(np.float32)
+        pb = np.clip(pb, 0, size)
+        pb[..., 2:] = np.maximum(pb[..., 2:], pb[..., :2] + 1)
+
+        args = (jnp.asarray(scores), jnp.asarray(pb), jnp.asarray(anc),
+                jnp.asarray(labels), jnp.asarray(gt), jnp.asarray(mask))
+        dense = TaskAlignedAssigner(topk=10, num_classes=nc, compressed=False)(*args)
+        comp = TaskAlignedAssigner(topk=10, num_classes=nc, compressed=True)(*args)
+        names = ("labels", "bboxes", "scores", "fg_mask", "gt_idx")
+        for n, d, c in zip(names, dense, comp):
+            np.testing.assert_array_equal(
+                np.asarray(d), np.asarray(c),
+                err_msg=f"trial {trial} field {n} mismatch")

@@ -215,6 +215,24 @@ def test_window_attention_fused_matches_einsum_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_exact_topk_lastdim_matches_lax():
+    """Two-stage top-k is exact, incl. tie-breaking (stable lowest-index),
+    ragged chunk padding, and the small-input passthrough."""
+    from yolo_sod_tpu.ops.numerics import exact_topk_lastdim
+
+    rng = np.random.default_rng(3)
+    for shape, k, chunk in (((4, 7, 1000), 10, 256), ((2, 513), 10, 128),
+                            ((3, 100), 5, 256), ((2, 300), 7, 64)):
+        x = rng.standard_normal(shape).astype(np.float32)
+        # Inject ties (zeros), the TAL zero-align regime.
+        x[x < 0.5] = 0.0
+        xv = jnp.asarray(x)
+        v_ref, i_ref = jax.lax.top_k(xv, k)
+        v, i = exact_topk_lastdim(xv, k, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
 def test_sage_attention_env_gate(monkeypatch):
     from yolo_sod_tpu.ops.pallas_attention_int8 import sage_enabled
 

@@ -47,8 +47,10 @@ def select_highest_overlaps(mask_pos, overlaps, n_max_boxes: int):
     fg_count = mask_pos.sum(axis=-2)               # (B, A)
     multi = fg_count > 1
     best_gt = overlaps.argmax(axis=1)              # (B, A)
-    is_best = jax.nn.one_hot(best_gt, n_max_boxes, dtype=mask_pos.dtype)  # (B, A, M)
-    is_best = jnp.swapaxes(is_best, 1, 2)          # (B, M, A)
+    # one-hot along the M axis directly (broadcast compare) — materializing
+    # a (B, A, M) one-hot and transposing it costs a 139 MB copy at P2 scale.
+    m_ids = jnp.arange(n_max_boxes)[None, :, None]                 # (1, M, 1)
+    is_best = (best_gt[:, None, :] == m_ids).astype(mask_pos.dtype)  # (B, M, A)
     mask_pos = jnp.where(multi[:, None, :], is_best * (mask_pos.sum(-2, keepdims=True) > 0),
                          mask_pos)
     fg_mask = mask_pos.sum(axis=-2) > 0            # (B, A)
@@ -60,12 +62,13 @@ class TaskAlignedAssigner:
     """Stateless functional assigner; __call__ is jit-safe."""
 
     def __init__(self, topk: int = 10, num_classes: int = 80, alpha: float = 0.5,
-                 beta: float = 6.0, eps: float = 1e-9):
+                 beta: float = 6.0, eps: float = 1e-9, compressed: bool = False):
         self.topk = topk
         self.num_classes = num_classes
         self.alpha = alpha
         self.beta = beta
         self.eps = eps
+        self.compressed = compressed
 
     def __call__(self, pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt):
         """Assign targets.
@@ -93,16 +96,24 @@ class TaskAlignedAssigner:
         mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B, M, A)
 
         # Align metric over candidate anchors (get_box_metrics, reference :133-152).
+        # One-hot matmul instead of take_along_axis: the (B, nc, A) gather
+        # materialized transposed copies (6.0 ms on-chip vs ~2 ms for the
+        # einsum at A=34k).
         labels = jnp.clip(gt_labels[..., 0].astype(jnp.int32), 0, self.num_classes - 1)
-        scores_per_gt = jnp.take_along_axis(
-            pd_scores.transpose(0, 2, 1),                        # (B, nc, A)
-            labels[:, :, None], axis=1,
-        )                                                        # (B, M, A)
+        label_oh = jax.nn.one_hot(labels, self.num_classes, dtype=pd_scores.dtype)
+        scores_per_gt = jnp.einsum("bmc,bac->bma", label_oh, pd_scores)  # (B, M, A)
         overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :],
                             xywh=False, CIoU=True)[..., 0]       # (B, M, A)
         overlaps = jnp.clip(overlaps, 0, None)
         valid = mask_in_gts & mask_gt_b[:, :, None]
-        align = (scores_per_gt ** self.alpha) * (overlaps ** self.beta)
+        # score^alpha * iou^beta with the default (0.5, 6.0) exponents as
+        # sqrt + integer powers: generic pow lowers to exp/log transcendental
+        # passes over the (B, M, A) tensor.
+        if self.alpha == 0.5 and self.beta == 6.0:
+            o2 = overlaps * overlaps
+            align = jnp.sqrt(scores_per_gt) * (o2 * o2 * o2)
+        else:
+            align = (scores_per_gt ** self.alpha) * (overlaps ** self.beta)
         align = jnp.where(valid, align, 0.0)
         overlaps = jnp.where(valid, overlaps, 0.0)
 
@@ -112,8 +123,21 @@ class TaskAlignedAssigner:
         # CIoU clamps to 0 early in training); padded GT rows drop via the
         # `valid` intersection. The reference's scatter-count dedup never
         # triggers (top_k indices are distinct), so plain membership is exact.
+        if self.compressed:
+            return self._tail_compressed(align, overlaps, valid, labels,
+                                         gt_bboxes)
+        return self._tail_dense(align, overlaps, valid, labels, gt_bboxes)
+
+    def _tail_dense(self, align, overlaps, valid, labels, gt_bboxes):
+        """Reference-shaped dense tail: (B, M, A) mask algebra throughout.
+
+        Kept as the semantics oracle for tests; `_tail_compressed` must match
+        it bit-for-bit (tests/test_losses.py::test_tal_compressed_matches_dense).
+        """
+        B, M, A = align.shape
+        from yolo_sod_tpu.ops.numerics import exact_topk_lastdim
         k = min(self.topk, A)
-        _, topk_idx = jax.lax.top_k(align, k)                    # (B, M, k)
+        _, topk_idx = exact_topk_lastdim(align, k)               # (B, M, k)
         mask_topk = jnp.zeros_like(align, dtype=bool)
         mask_topk = jax.vmap(jax.vmap(
             lambda m, idx: m.at[idx].set(True, mode="drop")
@@ -136,6 +160,107 @@ class TaskAlignedAssigner:
         pos_align_max = align_pos.max(axis=-1, keepdims=True)    # (B, M, 1)
         pos_overlap_max = overlaps_pos.max(axis=-1, keepdims=True)
         norm_align = (align_pos * pos_overlap_max / (pos_align_max + self.eps)).max(-2)  # (B, A)
+        target_scores = one_hot * norm_align[..., None]
+
+        return (target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)
+
+    def _tail_compressed(self, align, overlaps, valid, labels, gt_bboxes):
+        """Candidate-compressed tail: identical semantics to `_tail_dense`,
+        computed on the (B, M, k) top-k set + (B, M*k) scatters.
+
+        Only top-k candidate anchors can be positive, so the dense
+        (B, M, A) mask algebra after the top-k — conflict resolution,
+        per-GT norm maxes — touches at most M*k anchors per image.
+
+        MEASURED NEGATIVE on TPU v5e at (16, 64, 34000): 162.6 ms
+        fwd+criterion vs 134.0 ms for the dense tail — the four (B, A)
+        scatters serialize badly on TPU and cost more than the dense
+        (B, M, A) elementwise algebra they replace. Kept (off by default,
+        exactness-tested vs the dense oracle) as the better form for
+        accelerators with fast scatters and for very large A.
+
+        The subtle case is conflict resolution (select_highest_overlaps):
+        an anchor claimed by >1 GTs is reassigned to its max-CIoU VALID GT
+        — which may be a GT that did NOT rank the anchor in its own top-k.
+        The dense argmax sees those; to match, the per-anchor best GT is
+        computed by gathering the full overlap COLUMN of every claimed
+        anchor ((B, M, M*k) — still candidate-bounded) before the argmax.
+        """
+        B, M, A = align.shape
+        from yolo_sod_tpu.ops.numerics import exact_topk_lastdim
+        k = min(self.topk, A)
+        align_c, topk_idx = exact_topk_lastdim(align, k)         # (B, M, k)
+        flat_idx = topk_idx.reshape(B, M * k)                    # (B, C)
+        C = M * k
+        valid_c = jnp.take_along_axis(valid, topk_idx, axis=-1)  # (B, M, k)
+        overlaps_c = jnp.take_along_axis(overlaps, topk_idx, axis=-1)
+        pos_c = valid_c                                          # mask_topk ∧ valid
+        pos_f = pos_c.reshape(B, C)
+        gt_ids = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None, :, None], (B, M, k)).reshape(B, C)
+
+        def scat(op_name, payload, init, dtype=None):
+            """Scatter flat candidate payloads (B, C) onto anchors (B, A)."""
+            out = jnp.full((B, A), init, dtype or payload.dtype)
+
+            def one(o, i, p):
+                ref = o.at[i]
+                return getattr(ref, op_name)(p, mode="drop")
+
+            return jax.vmap(one)(out, flat_idx, payload)
+
+        fg_count = scat("add", pos_f.astype(jnp.int32), 0)       # (B, A)
+        fg_mask = fg_count > 0
+
+        # Per-claimed-anchor best GT over ALL valid in-box GTs (the dense
+        # overlaps.argmax(axis=1) semantics, ties -> lowest index): gather
+        # each claimed anchor's full (M,) overlap column, argmax over M.
+        cols = jax.vmap(lambda ov, ii: ov[:, ii])(overlaps, flat_idx)  # (B, M, C)
+        best_gt = jnp.argmax(cols, axis=1).astype(jnp.int32)      # (B, C)
+
+        # Claimant GT for single-claim anchors (exactly one claimant).
+        BIGM = jnp.int32(M)
+        claimant = scat("min", jnp.where(pos_f, gt_ids, BIGM), M)  # (B, A)
+        multi = fg_count > 1
+        best_scat = scat("min", jnp.where(pos_f, best_gt, BIGM), M)
+        tgt = jnp.where(multi, best_scat, claimant)               # (B, A)
+        target_gt_idx = jnp.where(fg_mask, tgt, 0).astype(jnp.int32)
+
+        # Resolved (gt, anchor) pairs per candidate slot: multi-claim anchors
+        # re-point to best_gt; their align/overlap values are gathered at the
+        # resolved pair (which may lie outside the candidate's own top-k row).
+        multi_f = jnp.take_along_axis(multi, flat_idx, axis=-1)   # (B, C)
+        res_gt = jnp.where(multi_f, best_gt, gt_ids)              # (B, C)
+        lin = res_gt * A + flat_idx                               # (B, C) into (M*A)
+        res_align = jnp.take_along_axis(align.reshape(B, M * A), lin, axis=-1)
+        res_ov = jnp.take_along_axis(overlaps.reshape(B, M * A), lin, axis=-1)
+        # A resolved pair is live iff its slot was a live claim.
+        res_align = jnp.where(pos_f, res_align, 0.0)
+        res_ov = jnp.where(pos_f, res_ov, 0.0)
+
+        # Per-GT maxes over resolved assignments (segment-max over res_gt;
+        # dead slots scatter into the M-th dump row).
+        def seg_max(payload):
+            out = jnp.zeros((B, M + 1), payload.dtype)
+            seg = jnp.where(pos_f, res_gt, M)
+            return jax.vmap(lambda o, g, p: o.at[g].max(p, mode="drop"))(
+                out, seg, payload)[:, :M]
+
+        pos_align_max = seg_max(res_align)                        # (B, M)
+        pos_overlap_max = seg_max(res_ov)                         # (B, M)
+
+        g_amax = jnp.take_along_axis(pos_align_max, res_gt, axis=-1)   # (B, C)
+        g_omax = jnp.take_along_axis(pos_overlap_max, res_gt, axis=-1)
+        norm_pay = res_align * g_omax / (g_amax + self.eps)
+        norm_align = scat("max", jnp.where(pos_f, norm_pay, 0.0), 0.0)  # (B, A)
+
+        # Gather targets (get_targets, reference :194-243).
+        target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)  # (B, A)
+        target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)
+        target_labels = jnp.where(fg_mask, target_labels, 0)
+
+        one_hot = jax.nn.one_hot(target_labels, self.num_classes, dtype=align.dtype)
+        one_hot = one_hot * fg_mask[..., None]
         target_scores = one_hot * norm_align[..., None]
 
         return (target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)
