@@ -56,12 +56,16 @@ def dist2bbox(distance, anchor_points, xywh: bool = True, axis: int = -1):
 
 
 def bbox2dist(anchor_points, bbox, reg_max: int):
-    """xyxy boxes → ltrb distances, clamped to reg_max (reference tal.py:360)."""
-    x1y1, x2y2 = jnp.split(bbox, 2, axis=-1)
-    return jnp.clip(
-        jnp.concatenate([anchor_points - x1y1, x2y2 - anchor_points], axis=-1),
-        0, reg_max - 1.01,
-    )
+    """xyxy boxes → ltrb distances, clamped to reg_max (reference tal.py:360).
+
+    Elementwise form: ltrb = (bbox - [ax, ay, ax, ay]) * [-1, -1, 1, 1].
+    The split/concat form materializes (.., 2)-wide tensors whose 2-lane
+    layouts are 64x-padded on TPU — measured 31.7 ms vs ~2 ms at
+    (16, 34000, 4).
+    """
+    anc4 = jnp.concatenate([anchor_points, anchor_points], axis=-1)
+    sign = jnp.asarray([-1.0, -1.0, 1.0, 1.0], bbox.dtype)
+    return jnp.clip((bbox - anc4) * sign, 0, reg_max - 1.01)
 
 
 def box_iou(box1, box2, eps: float = 1e-7):
