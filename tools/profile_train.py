@@ -55,20 +55,22 @@ def main(imgsz: int = 640, batch: int = 16, iters: int = 30, max_boxes: int = 64
 
     t0 = time.perf_counter()
     state, out = step(state, batch_d)
-    jax.block_until_ready(state.params)
-    print(f"compile+first step: {time.perf_counter() - t0:.1f} s")
+    l0 = float(out["loss"])                    # real device->host fetch
+    print(f"compile+first step: {time.perf_counter() - t0:.1f} s  loss={l0:.4f}")
 
-    # Block on the UPDATED PARAMS, not the loss: the loss buffer completes
-    # right after the forward, before the backward+optimizer finish, so
-    # blocking on it under-reports the step by an order of magnitude
-    # (measured 5.8 ms vs the true 218 ms at 640x16).
+    # Timing methodology (axon-tunnel safe): chain `iters` steps through the
+    # donated state, then FETCH the final loss. block_until_ready alone can
+    # return before the backward/optimizer finish on this platform
+    # (under-reporting the step ~40x — see PERF.md); a value fetch of the
+    # last step's loss transitively forces the whole chain. The single
+    # ~30 ms tunnel RTT amortizes over `iters`.
     t0 = time.perf_counter()
     for _ in range(iters):
         state, out = step(state, batch_d)
-    jax.block_until_ready(state.params)
+    lN = float(out["loss"])
     dt = (time.perf_counter() - t0) / iters
     print(f"train step: {dt * 1e3:8.2f} ms/batch  {batch / dt:8.1f} img/s  "
-          f"(device: {jax.devices()[0].device_kind})")
+          f"loss {l0:.4f}->{lN:.4f}  (device: {jax.devices()[0].device_kind})")
 
 
 if __name__ == "__main__":
