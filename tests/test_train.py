@@ -181,3 +181,40 @@ def test_convergence_to_high_map(dataset_yaml):
     metrics = DetectionValidator(args=vargs)(model=trainer.model,
                                              variables=trainer._ema_variables())
     assert metrics.box.map50 > 0.5
+
+
+def test_mixed_precision_master_weights():
+    """With compute_dtype=bf16 the forward consumes bf16 params but the
+    optimizer state and updated params stay f32 masters, and the step
+    produces finite f32 grads (the silent-f32-promotion regression guard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.engine.train_step import (build_optimizer,
+                                                init_train_state,
+                                                make_train_step)
+    from yolo_sod_tpu.nn.tasks import DetectionModel
+    from yolo_sod_tpu.utils.loss import DetectionLoss
+
+    model = DetectionModel("yolov12n.yaml", nc=3)
+    model.init(imgsz=64)
+    criterion = DetectionLoss(nc=3, strides=model.graph.detect_strides)
+    tx = build_optimizer(model.variables["params"], name="SGD", lr=0.01, nc=3)
+    state = init_train_state(model, tx)
+    step = make_train_step(model, criterion, tx, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    B, M = 2, 4
+    batch = {
+        "img": jnp.asarray(rng.random((B, 64, 64, 3), np.float32)),
+        "cls": jnp.asarray(rng.integers(0, 3, (B, M)), jnp.float32),
+        "bboxes": jnp.asarray(
+            np.clip(rng.random((B, M, 4)), 0.2, 0.8), jnp.float32),
+        "mask_gt": jnp.ones((B, M), jnp.float32),
+    }
+    state, out = step(state, batch)
+    assert np.isfinite(float(out["loss"]))
+    # master params remain f32 and moved from init
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves if l.dtype.kind == "f")
+    assert int(state.step) == 1
