@@ -68,7 +68,27 @@ def categorize(opname: str, line: str) -> str:
     return "other:" + opname
 
 
+def entry_block(hlo_text: str) -> str:
+    """Extract the ENTRY computation body — instructions inside
+    %fused_computation bodies live in VMEM and must not be counted as HBM
+    writes (counting them inflated e.g. silu's internal `negate` to a
+    phantom 1.4 GB)."""
+    m = re.search(r"^ENTRY [^{]*\{", hlo_text, re.M)
+    if not m:
+        return hlo_text
+    depth, i = 0, m.end() - 1
+    for i in range(m.end() - 1, len(hlo_text)):
+        if hlo_text[i] == "{":
+            depth += 1
+        elif hlo_text[i] == "}":
+            depth -= 1
+            if depth == 0:
+                break
+    return hlo_text[m.start():i + 1]
+
+
 def analyze(hlo_text: str, top: int = 15):
+    hlo_text = entry_block(hlo_text)
     by_cat = defaultdict(int)
     rows = []
     for m in INSTR_RE.finditer(hlo_text):
