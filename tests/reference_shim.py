@@ -20,7 +20,12 @@ def _shim(name: str, **attrs):
     mod = types.ModuleType(name)
     for k, v in attrs.items():
         setattr(mod, k, v)
-    mod.__getattr__ = lambda attr: type(attr, (), {})  # PEP 562 fallback
+    def _fallback(attr):                               # PEP 562 fallback
+        if attr.startswith("__") and attr.endswith("__"):
+            raise AttributeError(attr)                 # keep inspect/importlib sane
+        return type(attr, (), {})
+
+    mod.__getattr__ = _fallback
     sys.modules[name] = mod
     return mod
 

@@ -1,0 +1,287 @@
+"""Evaluation-stack parity vs the torch reference (VERDICT r2 item 1).
+
+Three layers of the accuracy-parity chain that were previously untested:
+
+(a) metrics: identical synthetic preds/GT through the reference's
+    `ap_per_class` / `DetMetrics` (reference utils/metrics.py:537-898) and
+    ours — every returned array equal to 1e-9, results_dict to 1e-9.
+(b) NMS semantics: the reference's REAL `non_max_suppression` function
+    (reference utils/ops.py:167-316 — conf filter, best-class/multi-label
+    expansion, class-offset max_wh trick, max_det cap) runs via the shim with
+    `torchvision.ops.nms` replaced by a faithful numpy greedy kernel; our
+    fused on-device NMS must match box-for-box on adversarial candidate sets.
+(c) end-to-end: converted flagship weights → our fused decode+NMS vs torch
+    forward + reference NMS, box-level.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(not REF.is_dir(), reason="reference unavailable")
+
+
+# ---------------------------------------------------------------- fixtures
+
+def _install_ref_nms_kernel():
+    """Give the shimmed torchvision a REAL greedy-NMS kernel (numpy, faithful
+    torchvision.ops.nms semantics: stable score-descending order, suppress
+    IoU strictly greater than threshold) so the reference's actual
+    non_max_suppression control flow runs for real."""
+    import torch
+
+    from tests import reference_shim
+    reference_shim.install()
+
+    def np_nms(boxes, scores, iou_threshold):
+        b = boxes.detach().cpu().numpy().astype(np.float64)
+        s = scores.detach().cpu().numpy().astype(np.float64)
+        order = np.argsort(-s, kind="stable")
+        keep = []
+        suppressed = np.zeros(len(s), bool)
+        areas = np.clip(b[:, 2] - b[:, 0], 0, None) * np.clip(b[:, 3] - b[:, 1], 0, None)
+        for i in order:
+            if suppressed[i]:
+                continue
+            keep.append(i)
+            x1 = np.maximum(b[i, 0], b[:, 0])
+            y1 = np.maximum(b[i, 1], b[:, 1])
+            x2 = np.minimum(b[i, 2], b[:, 2])
+            y2 = np.minimum(b[i, 3], b[:, 3])
+            inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+            iou = inter / (areas[i] + areas - inter + 1e-7)
+            suppressed |= iou > iou_threshold
+        return torch.as_tensor(np.asarray(keep, np.int64))
+
+    tv = sys.modules["torchvision"]
+    tv.ops = sys.modules["torchvision.ops"]
+    tv.ops.nms = np_nms
+    return np_nms
+
+
+def _synthetic_eval_data(seed=0, n_pred=400, n_gt=350, nc=10):
+    """Synthetic (tp, conf, pred_cls, target_cls) with realistic structure:
+    some classes absent from preds, some from GT, conf ties, all-FP classes."""
+    rng = np.random.default_rng(seed)
+    conf = rng.random(n_pred)
+    conf[: n_pred // 10] = conf[n_pred // 10: 2 * (n_pred // 10)]  # exact ties
+    pred_cls = rng.integers(0, nc, n_pred).astype(np.float64)
+    pred_cls[pred_cls == nc - 1] = 0          # class nc-1 never predicted
+    target_cls = rng.integers(0, nc, n_gt).astype(np.float64)
+    target_cls[target_cls == nc - 2] = 1      # class nc-2 has no GT
+    # TP at IoU .5 decays monotonically over the 10 thresholds.
+    base = rng.random((n_pred, 1)) < 0.6
+    decay = rng.random((n_pred, 10)).argsort(1).argsort(1) < rng.integers(0, 11, (n_pred, 1))
+    tp = (base & np.sort(decay, 1)[:, ::-1]).astype(bool)
+    return tp, conf, pred_cls, target_cls
+
+
+# ---------------------------------------------------------------- (a) metrics
+
+def test_ap_per_class_parity():
+    from tests import reference_shim
+    reference_shim.install()
+    from ultralytics.utils.metrics import ap_per_class as ref_ap_per_class
+
+    from yolo_sod_tpu.utils.metrics import ap_per_class
+
+    for seed in (0, 1, 2):
+        tp, conf, pred_cls, target_cls = _synthetic_eval_data(seed)
+        ref = ref_ap_per_class(tp, conf, pred_cls, target_cls, plot=False)
+        got = ap_per_class(tp, conf, pred_cls, target_cls)
+        assert len(ref) == len(got)
+        names = ("tp", "fp", "p", "r", "f1", "ap", "unique_classes",
+                 "p_curve", "r_curve", "f1_curve", "x", "prec_values")
+        for name, a, b in zip(names, ref, got):
+            np.testing.assert_allclose(
+                np.asarray(b, np.float64), np.asarray(a, np.float64),
+                rtol=1e-9, atol=1e-9, err_msg=f"seed={seed} field={name}")
+
+
+def test_detmetrics_parity():
+    from tests import reference_shim
+    reference_shim.install()
+    from ultralytics.utils.metrics import DetMetrics as RefDetMetrics
+
+    from yolo_sod_tpu.utils.metrics import DetMetrics
+
+    names = {i: f"c{i}" for i in range(10)}
+    tp, conf, pred_cls, target_cls = _synthetic_eval_data(3)
+
+    ref = RefDetMetrics(names=names)
+    ref.process(tp, conf, pred_cls, target_cls)
+    ours = DetMetrics(names=names)
+    ours.process(tp, conf, pred_cls, target_cls)
+
+    for k in ours.results_dict:
+        assert abs(ours.results_dict[k] - ref.results_dict[k]) < 1e-9, k
+    np.testing.assert_allclose(ours.maps, ref.maps, rtol=1e-9)
+    np.testing.assert_array_equal(ours.ap_class_index, ref.ap_class_index)
+    assert abs(ours.fitness - float(ref.fitness)) < 1e-9
+
+
+def test_match_predictions_parity():
+    import torch
+
+    from tests import reference_shim
+    reference_shim.install()
+    from ultralytics.engine.validator import BaseValidator
+
+    from yolo_sod_tpu.utils.metrics import box_iou, match_predictions
+
+    ref_self = BaseValidator.__new__(BaseValidator)
+    ref_self.iouv = torch.linspace(0.5, 0.95, 10)
+
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        m, n = 37, 81
+        gt = rng.random((m, 4)) * 100
+        gt = np.concatenate([gt[:, :2], gt[:, :2] + 5 + gt[:, 2:] * 30], 1)
+        pr = gt[rng.integers(0, m, n)] + rng.normal(0, 4, (n, 4))
+        gt_cls = rng.integers(0, 5, m).astype(np.float64)
+        pr_cls = rng.integers(0, 5, n).astype(np.float64)
+        iou = box_iou(gt, pr)                                   # (M, N)
+
+        ref = ref_self.match_predictions(
+            torch.as_tensor(pr_cls), torch.as_tensor(gt_cls),
+            torch.as_tensor(iou)).numpy()
+        got = match_predictions(pr_cls, gt_cls, iou)
+        np.testing.assert_array_equal(got, ref, err_msg=f"trial={trial}")
+
+
+# ---------------------------------------------------------------- (b) NMS
+
+def _adversarial_prediction(seed, nc=10, n_anchors=600, imgsz=640):
+    """(1, 4+nc, A) xywh+scores with adversarial structure: dense overlap
+    clusters, cross-class stacks, near-threshold scores, duplicate boxes."""
+    rng = np.random.default_rng(seed)
+    # Cluster centers; boxes jitter around them → heavy suppression chains.
+    n_clusters = 40
+    centers = rng.random((n_clusters, 2)) * (imgsz - 80) + 40
+    which = rng.integers(0, n_clusters, n_anchors)
+    cxy = centers[which] + rng.normal(0, 6, (n_anchors, 2))
+    wh = np.exp(rng.normal(3.0, 0.5, (n_anchors, 2)))
+    boxes = np.concatenate([cxy, wh], 1)
+    boxes[: 8] = boxes[8:16]                 # exact duplicate boxes
+    scores = rng.random((n_anchors, nc)) ** 4           # mostly low conf
+    hot = rng.integers(0, nc, n_anchors)
+    scores[np.arange(n_anchors), hot] = rng.random(n_anchors)
+    scores[:32, :] = 0.25                    # rows pinned at a common value
+    pred = np.concatenate([boxes, scores], 1).astype(np.float32)  # (A, 4+nc)
+    return pred.T[None]                      # (1, 4+nc, A)
+
+
+@pytest.mark.parametrize("mode", ["predict", "val", "agnostic", "classes"])
+def test_nms_semantics_parity(mode):
+    import torch
+
+    _install_ref_nms_kernel()
+    from ultralytics.utils.ops import non_max_suppression as ref_nms
+
+    from yolo_sod_tpu.ops.nms import non_max_suppression
+
+    kw = dict(conf_thres=0.25, iou_thres=0.45, multi_label=False,
+              agnostic=False, classes=None, max_det=300)
+    if mode == "val":       # validator semantics (reference detect/val.py:92)
+        kw.update(conf_thres=0.001, iou_thres=0.7, multi_label=True)
+    elif mode == "agnostic":
+        kw.update(agnostic=True)
+    elif mode == "classes":
+        kw.update(classes=[1, 3, 7])
+
+    for seed in (0, 1):
+        pred = _adversarial_prediction(seed)
+        ref_out = ref_nms(torch.from_numpy(pred.copy()), in_place=False, **kw)[0].numpy()
+
+        ours = np.transpose(pred, (0, 2, 1))            # (1, A, 4+nc)
+        det, n_valid = non_max_suppression(ours, **kw)
+        det = np.asarray(det[0])[: int(n_valid[0])]
+
+        assert det.shape[0] == ref_out.shape[0], (
+            f"mode={mode} seed={seed}: count {det.shape[0]} vs {ref_out.shape[0]}")
+        # Same order (score-descending, greedy keep order): row-wise compare.
+        np.testing.assert_allclose(det[:, 4], ref_out[:, 4], rtol=1e-5, atol=1e-6,
+                                   err_msg=f"mode={mode} seed={seed} scores")
+        np.testing.assert_array_equal(det[:, 5], ref_out[:, 5],
+                                      err_msg=f"mode={mode} seed={seed} classes")
+        np.testing.assert_allclose(det[:, :4], ref_out[:, :4], rtol=1e-4, atol=1e-3,
+                                   err_msg=f"mode={mode} seed={seed} boxes")
+
+
+def test_nms_max_det_cap():
+    """>max_det survivors must clamp to exactly max_det, keeping the best."""
+    import torch
+
+    _install_ref_nms_kernel()
+    from ultralytics.utils.ops import non_max_suppression as ref_nms
+
+    from yolo_sod_tpu.ops.nms import non_max_suppression
+
+    rng = np.random.default_rng(7)
+    n = 500
+    # Non-overlapping grid → nothing suppressed → cap at max_det binds.
+    gx, gy = np.meshgrid(np.arange(25), np.arange(20))
+    cxy = np.stack([gx.ravel() * 25 + 12, gy.ravel() * 25 + 12], 1)[:n]
+    boxes = np.concatenate([cxy, np.full((n, 2), 10.0)], 1)
+    scores = rng.random((n, 3)) * 0.7 + 0.3
+    pred = np.concatenate([boxes, scores], 1).astype(np.float32).T[None]
+
+    kw = dict(conf_thres=0.25, iou_thres=0.45, max_det=100)
+    ref_out = ref_nms(torch.from_numpy(pred.copy()), in_place=False, **kw)[0].numpy()
+    det, n_valid = non_max_suppression(np.transpose(pred, (0, 2, 1)), **kw)
+    det = np.asarray(det[0])[: int(n_valid[0])]
+    assert det.shape[0] == 100 == ref_out.shape[0]
+    np.testing.assert_allclose(det[:, 4], ref_out[:, 4], rtol=1e-6)
+
+
+# ---------------------------------------------------------------- (c) e2e
+
+def test_e2e_box_parity_converted_flagship():
+    """Converted flagship weights: our fused decode+NMS output must match the
+    torch reference forward + reference NMS, box-level."""
+    import torch
+
+    _install_ref_nms_kernel()
+    from ultralytics.utils.ops import non_max_suppression as ref_nms
+
+    from tests.reference_shim import build_torch_model
+    from yolo_sod_tpu.nn.tasks import DetectionModel
+    from yolo_sod_tpu.ops.decode import decode_detections
+    from yolo_sod_tpu.ops.nms import non_max_suppression
+    from yolo_sod_tpu.utils.torch_convert import convert_torch_checkpoint
+
+    cfg = "yolov12-sod-fusion-v5-simple.yaml"
+    tm = build_torch_model(str(REF / "ultralytics/cfg/models/new" / cfg))
+    tm.eval()
+    x = np.random.default_rng(0).random((1, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        tm(torch.zeros(1, 3, 128, 128))
+        decoded, _raw = tm(torch.from_numpy(x))
+
+    ours = DetectionModel(cfg)
+    ours.init(imgsz=128)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables, report = convert_torch_checkpoint(sd, ours)
+    assert not report["unused"] and not report["missing"]
+
+    import jax.numpy as jnp
+    feats = ours.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    preds = decode_detections(feats, ours.graph.detect_strides, nc=ours.nc)
+
+    # Random-init heads give near-uniform sigmoid scores ~0.5: use a conf
+    # threshold below that so a meaningful candidate set flows through NMS.
+    kw = dict(conf_thres=0.45, iou_thres=0.7, multi_label=False, max_det=300)
+    ref_out = ref_nms(decoded, in_place=False, **kw)[0].numpy()
+    det, n_valid = non_max_suppression(np.asarray(preds), **kw)
+    det = np.asarray(det[0])[: int(n_valid[0])]
+
+    assert det.shape[0] == ref_out.shape[0]
+    np.testing.assert_array_equal(det[:, 5], ref_out[:, 5])
+    np.testing.assert_allclose(det[:, 4], ref_out[:, 4], rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(det[:, :4], ref_out[:, :4], rtol=5e-3, atol=0.5)

@@ -157,11 +157,15 @@ def non_max_suppression(
     boxes = xywh2xyxy(preds[..., :4].astype(jnp.float32))
     scores = preds[..., 4: 4 + nc].astype(jnp.float32)
 
+    cls_keep = None
     if classes is not None:
-        keep = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
-        scores = jnp.where(keep[None, None, :], scores, 0.0)
+        cls_keep = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
 
     if multi_label:
+        # Per-(anchor, class) candidates: dropping excluded classes up front
+        # is identical to the reference's post-hoc row filter (ops.py:286).
+        if cls_keep is not None:
+            scores = jnp.where(cls_keep[None, None, :], scores, 0.0)
         # One candidate per (anchor, class): flatten to A*nc.
         flat = scores.reshape(B, A * nc)
         cls_ids = jnp.tile(jnp.arange(nc, dtype=jnp.float32), (A,))
@@ -171,16 +175,24 @@ def non_max_suppression(
         cand_cls = cls_ids[top_idx]
         cand_boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
     else:
+        # Best class over ALL classes first; rows whose argmax class is
+        # excluded drop entirely (reference ops.py:274-286 selects best-class
+        # before the `classes` row filter — a runner-up allowed class must
+        # NOT be promoted).
         best = scores.max(-1)
         best_cls = scores.argmax(-1).astype(jnp.float32)
+        if cls_keep is not None:
+            allowed = cls_keep[scores.argmax(-1)]
+            best = jnp.where(allowed, best, 0.0)
         k = min(max_nms, A)
         top_scores, top_idx = jax.lax.top_k(best, k)
         anchor_idx = top_idx.astype(jnp.int32)
         cand_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
         cand_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
 
-    # Mark below-threshold candidates invalid.
-    top_scores = jnp.where(top_scores >= conf_thres, top_scores, -1.0)
+    # Mark non-qualifying candidates invalid (reference ops.py:234 uses a
+    # strict `> conf_thres` filter — scores exactly at threshold drop).
+    top_scores = jnp.where(top_scores > conf_thres, top_scores, -1.0)
 
     offset_cls = jnp.zeros_like(cand_cls) if agnostic else cand_cls
     off_boxes = cand_boxes + (offset_cls * MAX_WH)[..., None]
