@@ -47,8 +47,12 @@ def shape_bytes(shape_str: str) -> int:
     return total
 
 
+# `%name = SHAPE opname(operands...)` — SHAPE may be a tuple whose layout
+# annotations contain parens (`T(8,128)(2,1)S(1)`), so match the op as the
+# last hyphenated word right before an operands paren (ops are always
+# immediately followed by `(`; nothing inside a shape literal is).
 INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^)]*\)|\S+?))\s+(\w+)", re.M)
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*?)\s([\w\-]+)\(", re.M)
 
 
 def categorize(opname: str, line: str) -> str:
@@ -56,14 +60,22 @@ def categorize(opname: str, line: str) -> str:
         return "fusion(elementwise)"
     if opname in ("convolution", "custom-call") and ("conv" in line or "Conv" in line):
         return "convolution"
-    if opname in ("copy", "transpose", "reshape", "bitcast", "copy-start"):
+    if opname == "custom-call":
+        return "custom-call"
+    if opname in ("copy", "transpose", "reshape", "bitcast", "copy-done"):
         return "copy/layout"
+    if opname in ("dynamic-update-slice", "dynamic-slice", "slice", "pad",
+                  "concatenate"):
+        return "slice/pad/concat"
     if opname in ("reduce", "reduce-window"):
         return "reduce"
-    if opname in ("dot",):
-        return "dot"
+    if opname in ("dot", "sort"):
+        return opname
     if opname in ("parameter", "constant", "get-tuple-element", "tuple",
-                  "bitcast-convert"):
+                  "bitcast-convert", "copy-start", "async-start",
+                  "async-update", "after-all", "partition-id", "replica-id"):
+        # copy-start's tuple result aliases the copy-done output — count the
+        # write once, at copy-done; GTE/tuple are metadata, not traffic.
         return "(free)"
     return "other:" + opname
 

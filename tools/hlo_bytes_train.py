@@ -55,7 +55,11 @@ def main(imgsz: int = 640, batch: int = 16, max_boxes: int = 64):
 
     lowered = step.lower(state, batch_d)
     compiled = lowered.compile()
-    analyze(compiled.as_text(), top=40)
+    text = compiled.as_text()
+    out = Path("/tmp/train_hlo.txt")
+    out.write_text(text)
+    print(f"[hlo saved to {out}, {len(text)/1e6:.1f} MB]")
+    analyze(text, top=40)
 
 
 if __name__ == "__main__":

@@ -1,113 +1,92 @@
-"""BoT-SORT tracker: BYTE + camera-motion compensation + optional ReID
-(reference trackers/bot_sort.py — BOTrack, BOTSORT :147).
+"""Array-first BoT-SORT: BYTE association + camera-motion compensation
+(+ optional appearance embeddings).
+
+Behavioral contract from the reference (trackers/bot_sort.py — BOTrack,
+BOTSORT :147): an (x, y, w, h) Kalman state whose vw AND vh freeze while a
+track is not actively tracked, GMC-warped means/covariances each frame, a
+proximity-gated IoU cost optionally fused with detection scores and (when a
+ReID encoder is attached) the elementwise minimum with a gated cosine
+appearance distance.
+
+Structural re-design mirrors byte_tracker.py: no per-track objects — the
+XYWH Kalman specialization is three small overrides (measurement space,
+frozen velocity dims, cost builder) over the same TrackStore columns, and
+appearance features live in one (N, D) matrix updated with a single
+vectorized EMA rather than a deque per track.
 """
 
 from __future__ import annotations
 
-from collections import deque
-
 import numpy as np
 
-from yolo_sod_tpu.trackers.byte_tracker import BYTETracker, STrack
+from yolo_sod_tpu.trackers.byte_tracker import BYTETracker
 from yolo_sod_tpu.trackers.utils import matching
 from yolo_sod_tpu.trackers.utils.gmc import GMC
 from yolo_sod_tpu.trackers.utils.kalman_filter import KalmanFilterXYWH
 
 
-class BOTrack(STrack):
-    """STrack with an XYWH Kalman state and exponentially-smoothed features."""
-
-    shared_kalman = KalmanFilterXYWH()
-
-    def __init__(self, xywh, score, cls, feat=None, feat_history: int = 50):
-        super().__init__(xywh, score, cls)
-        self.smooth_feat = None
-        self.curr_feat = None
-        if feat is not None:
-            self.update_features(feat)
-        self.features = deque([], maxlen=feat_history)
-        self.alpha = 0.9
-
-    def update_features(self, feat):
-        feat = feat / (np.linalg.norm(feat) + 1e-9)
-        self.curr_feat = feat
-        self.smooth_feat = feat if self.smooth_feat is None else \
-            self.alpha * self.smooth_feat + (1 - self.alpha) * feat
-        self.features.append(feat)
-        self.smooth_feat /= np.linalg.norm(self.smooth_feat) + 1e-9
-
-    def predict(self):
-        mean_state = self.mean.copy()
-        if self.state != 1:   # not Tracked
-            mean_state[6] = 0
-            mean_state[7] = 0
-        self.mean, self.covariance = self.kalman_filter.predict(mean_state, self.covariance)
-
-    @staticmethod
-    def multi_predict(stracks):
-        if len(stracks) == 0:
-            return
-        multi_mean = np.asarray([st.mean.copy() for st in stracks])
-        multi_cov = np.asarray([st.covariance for st in stracks])
-        for i, st in enumerate(stracks):
-            if st.state != 1:
-                multi_mean[i][6] = 0
-                multi_mean[i][7] = 0
-        multi_mean, multi_cov = BOTrack.shared_kalman.multi_predict(multi_mean, multi_cov)
-        for i, (mean, cov) in enumerate(zip(multi_mean, multi_cov)):
-            stracks[i].mean = mean
-            stracks[i].covariance = cov
-
-    def convert_coords(self, tlwh):
-        ret = np.asarray(tlwh, np.float32).copy()
-        ret[:2] += ret[2:] / 2
-        return ret
-
-    @property
-    def tlwh(self):
-        if self.mean is None:
-            return self._tlwh.copy()
-        ret = self.mean[:4].copy()
-        ret[:2] -= ret[2:] / 2
-        return ret
-
-
 class BOTSORT(BYTETracker):
-    """BYTE + GMC (+ appearance when with_reid)."""
+    """BYTE two-stage association with an XYWH Kalman state and GMC."""
+
+    still_dims = (6, 7)                    # freeze vw and vh when not tracked
+    aspect_state = False                   # Kalman mean is (x, y, w, h)
+    feat_alpha = 0.9                       # appearance EMA (reference :29)
 
     def __init__(self, args, frame_rate: int = 30):
         super().__init__(args, frame_rate)
         self.proximity_thresh = args.proximity_thresh
         self.appearance_thresh = args.appearance_thresh
-        self.encoder = None            # ReID model hook (off by default)
-        self.with_reid = getattr(args, "with_reid", False) and self.encoder is not None
+        self.encoder = None                # ReID model hook (off by default)
         self.gmc = GMC(method=args.gmc_method)
+
+    @property
+    def with_reid(self) -> bool:
+        return getattr(self.args, "with_reid", False) and self.encoder is not None
 
     def get_kalmanfilter(self):
         return KalmanFilterXYWH()
 
-    def init_track(self, dets, scores, cls, img=None):
-        if len(dets) == 0:
-            return []
-        if self.with_reid and self.encoder is not None:
-            feats = self.encoder.inference(img, dets)
-            return [BOTrack(xyxy, s, c, f) for xyxy, s, c, f in zip(dets, scores, cls, feats)]
-        return [BOTrack(xyxy, s, c) for xyxy, s, c in zip(dets, scores, cls)]
+    def measurement(self, tlwh: np.ndarray) -> np.ndarray:
+        """tlwh -> center-based xywh measurements (BOTrack.convert_coords)."""
+        m = tlwh.copy()
+        m[:, :2] += m[:, 2:] / 2
+        return m
 
-    def get_dists(self, tracks, detections):
-        dists = matching.iou_distance(tracks, detections)
-        dists_mask = dists > (1 - self.proximity_thresh)
-        if self.args.fuse_score:
-            dists = matching.fuse_score(dists, detections)
-        if self.with_reid:
-            emb = matching.embedding_distance(tracks, detections) / 2.0
+    def det_features(self, det, img):
+        """Normalized embeddings for a detection bank, when a ReID encoder
+        is attached; also lazily allocates the store's feature matrix."""
+        if not self.with_reid or len(det["score"]) == 0:
+            return None
+        feats = np.asarray(self.encoder.inference(img, det["xyxy"]), np.float64)
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True) + 1e-9
+        if self.store.feat is None:
+            self.store.feat = np.zeros((len(self.store.score), feats.shape[1]))
+        return feats
+
+    def fused_dists(self, idx, det) -> np.ndarray:
+        """Proximity-gated IoU cost, score-fused, min-merged with gated
+        appearance distance (reference BOTSORT.get_dists :97-107)."""
+        dists = matching.iou_distance(self.store.xyxy(idx), det["xyxy"])
+        too_far = dists > (1 - self.proximity_thresh)
+        if self.args.fuse_score and dists.size:
+            dists = 1 - (1 - dists) * det["score"][None, :]
+        if self.with_reid and det.get("feat") is not None and dists.size:
+            idx = np.asarray(idx, int)
+            emb = np.maximum(
+                0.0, 1.0 - self.store.feat[idx] @ det["feat"].T) / 2.0
             emb[emb > (1 - self.appearance_thresh)] = 1.0
-            emb[dists_mask] = 1.0
+            emb[too_far] = 1.0
             dists = np.minimum(dists, emb)
         return dists
 
-    def multi_predict(self, tracks):
-        BOTrack.multi_predict(tracks)
+    def _apply_matches(self, rows, dpos, det, frame: int):
+        """EMA-smooth appearance features for matched rows, then defer to
+        the shared batched KF update."""
+        if len(rows) and det.get("feat") is not None and self.store.feat is not None:
+            a = self.feat_alpha
+            f = a * self.store.feat[rows] + (1 - a) * det["feat"][dpos]
+            self.store.feat[rows] = f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-9)
+        return super()._apply_matches(rows, dpos, det, frame)
 
     def reset(self):
         super().reset()

@@ -1,303 +1,392 @@
-"""BYTETracker: two-stage high/low-confidence association
-(reference trackers/byte_tracker.py — STrack :12, BYTETracker :235).
+"""Array-first BYTE tracking.
+
+Behavioral contract: the two-stage high/low-confidence association of
+ByteTrack as shipped by the reference (trackers/byte_tracker.py — STrack :12,
+BYTETracker.update :263-476): stage-1 Hungarian over fused IoU·score costs,
+stage-2 low-confidence rescue for still-tracked rows, an unconfirmed-track
+gate, per-frame Kalman prediction, lost-track expiry, and IoU duplicate
+pruning between the tracked and lost sets.
+
+Structural re-design: the reference mutates one Python object per tracklet
+and shuffles them between lists (`STrack.update/re_activate/activate`,
+`joint_stracks`/`sub_stracks`). Here NO per-track objects exist at all —
+every tracklet attribute is a column in a numpy struct-of-arrays
+(`TrackStore`), the tracked/lost/removed sets are row-index lists, and each
+pipeline stage is one vectorized operation over an index set: a single
+batched Kalman predict/update (`KalmanFilterXYAH.multi_update`) covers all
+matched rows of a stage regardless of whether they are continuations or
+re-activations; the continuation/re-activation distinction reduces to a
+boolean mask applied to the `length`/ordering columns afterwards.
+Equivalence to the reference is pinned frame-by-frame by
+tests/test_tracker_equivalence.py (recorded synthetic sequences through both
+implementations).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from yolo_sod_tpu.trackers.basetrack import BaseTrack, TrackState
+from yolo_sod_tpu.trackers.basetrack import TrackState
 from yolo_sod_tpu.trackers.utils import matching
 from yolo_sod_tpu.trackers.utils.kalman_filter import KalmanFilterXYAH
 
 
-class STrack(BaseTrack):
-    """Single tracklet with an XYAH Kalman state."""
+class TrackStore:
+    """Struct-of-arrays store: one row per tracklet, columns for every
+    attribute. Rows are append-only; dead rows are compacted opportunistically
+    (`compact`), remapping the caller's index lists."""
 
-    shared_kalman = KalmanFilterXYAH()
+    _CAP0 = 64
 
-    def __init__(self, xywh, score, cls):
-        super().__init__()
-        # xywh: (x_center, y_center, w, h[, idx])
-        self._tlwh = np.asarray(
-            [xywh[0] - xywh[2] / 2, xywh[1] - xywh[3] / 2, xywh[2], xywh[3]],
-            np.float32)
-        self.kalman_filter = None
-        self.mean, self.covariance = None, None
-        self.is_activated = False
-        self.score = score
-        self.tracklet_len = 0
-        self.cls = cls
-        self.idx = xywh[-1] if len(xywh) > 4 else -1
-        self.angle = None
+    def __init__(self, aspect_state: bool = True):
+        self.aspect_state = aspect_state   # True: (x, y, a, h) means; False: (x, y, w, h)
+        self.n = 0
+        cap = self._CAP0
+        self.mean = np.zeros((cap, 8))
+        self.cov = np.zeros((cap, 8, 8))
+        self.score = np.zeros(cap)
+        self.cls = np.zeros(cap)
+        self.det_idx = np.full(cap, -1.0)
+        self.tid = np.zeros(cap, np.int64)
+        self.state = np.full(cap, TrackState.New, np.int64)
+        self.active = np.zeros(cap, bool)
+        self.length = np.zeros(cap, np.int64)
+        self.t_start = np.zeros(cap, np.int64)
+        self.t_end = np.zeros(cap, np.int64)
+        self.feat = None        # lazily (N, D) smoothed appearance embeddings
 
-    def predict(self):
-        mean_state = self.mean.copy()
-        if self.state != TrackState.Tracked:
-            mean_state[7] = 0
-        self.mean, self.covariance = self.kalman_filter.predict(mean_state, self.covariance)
+    # -- storage ------------------------------------------------------------
 
-    @staticmethod
-    def multi_predict(stracks):
-        if len(stracks) == 0:
+    def _grow(self, need: int):
+        cap = len(self.score)
+        if self.n + need <= cap:
             return
-        multi_mean = np.asarray([st.mean.copy() for st in stracks])
-        multi_cov = np.asarray([st.covariance for st in stracks])
-        for i, st in enumerate(stracks):
-            if st.state != TrackState.Tracked:
-                multi_mean[i][7] = 0
-        multi_mean, multi_cov = STrack.shared_kalman.multi_predict(multi_mean, multi_cov)
-        for i, (mean, cov) in enumerate(zip(multi_mean, multi_cov)):
-            stracks[i].mean = mean
-            stracks[i].covariance = cov
+        new_cap = max(cap * 2, self.n + need)
+        for name in ("mean", "cov", "score", "cls", "det_idx", "tid", "state",
+                     "active", "length", "t_start", "t_end", "feat"):
+            col = getattr(self, name)
+            if col is None:
+                continue
+            grown = np.zeros((new_cap,) + col.shape[1:], col.dtype)
+            grown[: self.n] = col[: self.n]
+            setattr(self, name, grown)
 
-    @staticmethod
-    def multi_gmc(stracks, H=np.eye(2, 3)):
-        """Warp every track's Kalman state by a camera-motion affine H."""
-        if len(stracks) == 0:
+    def append(self, k: int) -> np.ndarray:
+        """Reserve k fresh rows; returns their indices."""
+        self._grow(k)
+        idx = np.arange(self.n, self.n + k)
+        self.n += k
+        return idx
+
+    def compact(self, keep_lists: list[list[int]]) -> None:
+        """Drop rows not referenced by any index list; remap lists in place."""
+        live = sorted({i for lst in keep_lists for i in lst})
+        remap = {old: new for new, old in enumerate(live)}
+        sel = np.asarray(live, int)
+        for name in ("mean", "cov", "score", "cls", "det_idx", "tid", "state",
+                     "active", "length", "t_start", "t_end", "feat"):
+            col = getattr(self, name)
+            if col is None:
+                continue
+            col[: len(sel)] = col[sel]
+            setattr(self, name, col)
+        self.n = len(sel)
+        for lst in keep_lists:
+            lst[:] = [remap[i] for i in lst]
+
+    # -- vectorized tracklet ops --------------------------------------------
+
+    def xyxy(self, idx) -> np.ndarray:
+        """(k, 4) corner boxes from the Kalman means."""
+        m = self.mean[idx]
+        w = m[:, 2] * m[:, 3] if self.aspect_state else m[:, 2]
+        h = m[:, 3]
+        out = np.empty((len(m), 4), np.float32)
+        out[:, 0] = m[:, 0] - w / 2
+        out[:, 1] = m[:, 1] - h / 2
+        out[:, 2] = m[:, 0] + w / 2
+        out[:, 3] = m[:, 1] + h / 2
+        return out
+
+    def predict(self, idx, kf, still_dims=(7,)) -> None:
+        """Batched Kalman predict; non-tracked rows freeze `still_dims`."""
+        if len(idx) == 0:
             return
-        R = H[:2, :2]
-        R8 = np.kron(np.eye(4), R)
-        t = H[:2, 2]
-        for st in stracks:
-            mean = R8 @ st.mean
-            mean[:2] += t
-            st.mean = mean
-            st.covariance = R8 @ st.covariance @ R8.T
+        idx = np.asarray(idx, int)
+        mean = self.mean[idx].copy()
+        frozen = self.state[idx] != TrackState.Tracked
+        for d in still_dims:
+            mean[frozen, d] = 0.0
+        self.mean[idx], self.cov[idx] = kf.multi_predict(mean, self.cov[idx])
 
-    def activate(self, kalman_filter, frame_id):
-        self.kalman_filter = kalman_filter
-        self.track_id = self.next_id()
-        self.mean, self.covariance = self.kalman_filter.initiate(self.convert_coords(self._tlwh))
-        self.tracklet_len = 0
-        self.state = TrackState.Tracked
-        self.is_activated = frame_id == 1
-        self.frame_id = frame_id
-        self.start_frame = frame_id
+    def kf_update(self, idx, measurements, kf) -> None:
+        if len(idx) == 0:
+            return
+        idx = np.asarray(idx, int)
+        self.mean[idx], self.cov[idx] = kf.multi_update(
+            self.mean[idx], self.cov[idx], measurements)
 
-    def re_activate(self, new_track, frame_id, new_id: bool = False):
-        self.mean, self.covariance = self.kalman_filter.update(
-            self.mean, self.covariance, self.convert_coords(new_track.tlwh))
-        self.tracklet_len = 0
-        self.state = TrackState.Tracked
-        self.is_activated = True
-        self.frame_id = frame_id
-        if new_id:
-            self.track_id = self.next_id()
-        self.score = new_track.score
-        self.cls = new_track.cls
-        self.idx = new_track.idx
+    def warp(self, idx, H: np.ndarray) -> None:
+        """Apply a camera-motion affine to the Kalman states (multi_gmc)."""
+        if len(idx) == 0:
+            return
+        idx = np.asarray(idx, int)
+        R8 = np.kron(np.eye(4), H[:2, :2])
+        self.mean[idx] = self.mean[idx] @ R8.T
+        self.mean[idx, :2] += H[:2, 2]
+        self.cov[idx] = R8 @ self.cov[idx] @ R8.T
 
-    def update(self, new_track, frame_id):
-        self.frame_id = frame_id
-        self.tracklet_len += 1
-        self.mean, self.covariance = self.kalman_filter.update(
-            self.mean, self.covariance, self.convert_coords(new_track.tlwh))
-        self.state = TrackState.Tracked
-        self.is_activated = True
-        self.score = new_track.score
-        self.cls = new_track.cls
-        self.idx = new_track.idx
+    def mark_matched(self, idx, frame: int, scores, clss, det_ids,
+                     continuation) -> None:
+        """Column updates shared by continuation and re-activation rows:
+        length += 1 for continuations, reset to 0 for re-activations."""
+        idx = np.asarray(idx, int)
+        self.length[idx] = np.where(continuation, self.length[idx] + 1, 0)
+        self.state[idx] = TrackState.Tracked
+        self.active[idx] = True
+        self.t_end[idx] = frame
+        self.score[idx] = scores
+        self.cls[idx] = clss
+        self.det_idx[idx] = det_ids
 
-    def convert_coords(self, tlwh):
-        return self.tlwh_to_xyah(tlwh)
+    def results(self, idx) -> np.ndarray:
+        """(k, 8) rows [x1, y1, x2, y2, tid, score, cls, det_idx]."""
+        idx = np.asarray(idx, int)
+        if len(idx) == 0:
+            return np.zeros((0, 8), np.float32)
+        return np.concatenate(
+            [self.xyxy(idx),
+             self.tid[idx, None].astype(np.float32),
+             self.score[idx, None].astype(np.float32),
+             self.cls[idx, None].astype(np.float32),
+             self.det_idx[idx, None].astype(np.float32)], axis=1)
 
-    @property
-    def tlwh(self):
-        if self.mean is None:
-            return self._tlwh.copy()
-        ret = self.mean[:4].copy()
-        ret[2] *= ret[3]           # a*h -> w
-        ret[:2] -= ret[2:] / 2
-        return ret
 
-    @property
-    def xyxy(self):
-        ret = self.tlwh.copy()
-        ret[2:] += ret[:2]
-        return ret
+def _merge(a: list[int], b: list[int]) -> list[int]:
+    """Order-preserving union of row-index lists (a then unseen of b)."""
+    seen = set(a)
+    return a + [i for i in b if i not in seen and not seen.add(i)]
 
-    @property
-    def xywh(self):
-        ret = self.tlwh.copy()
-        ret[:2] += ret[2:] / 2
-        return ret
 
-    @staticmethod
-    def tlwh_to_xyah(tlwh):
-        ret = np.asarray(tlwh, np.float32).copy()
-        ret[:2] += ret[2:] / 2
-        ret[2] /= ret[3]
-        return ret
-
-    @property
-    def result(self):
-        """[x1, y1, x2, y2, track_id, score, cls, det_idx]."""
-        return self.xyxy.tolist() + [self.track_id, self.score, self.cls, self.idx]
-
-    def __repr__(self):
-        return f"OT_{self.track_id}_({self.start_frame}-{self.end_frame})"
+def _without(a: list[int], b: list[int]) -> list[int]:
+    drop = set(b)
+    return [i for i in a if i not in drop]
 
 
 class BYTETracker:
-    """Two-stage tracker over per-frame detections (reference :235-476)."""
+    """Two-stage detection-to-track association over a TrackStore."""
 
     def __init__(self, args, frame_rate: int = 30):
-        self.tracked_stracks: list[STrack] = []
-        self.lost_stracks: list[STrack] = []
-        self.removed_stracks: list[STrack] = []
-        self.frame_id = 0
         self.args = args
+        self._frame_rate = frame_rate
+        self.store = TrackStore(aspect_state=self.aspect_state)
+        self.tracked: list[int] = []
+        self.lost: list[int] = []
+        self.removed: list[int] = []
+        self.frame_id = 0
+        self._next_id = 0
         self.max_time_lost = int(frame_rate / 30.0 * args.track_buffer)
-        self.kalman_filter = self.get_kalmanfilter()
-        BaseTrack.reset_id()
+        self.kf = self.get_kalmanfilter()
+
+    # hooks specialized by BOTSORT -------------------------------------------
+    still_dims = (7,)                     # xyah: freeze vh when not tracked
+    aspect_state = True                   # Kalman mean is (x, y, a, h)
 
     def get_kalmanfilter(self):
         return KalmanFilterXYAH()
 
-    def init_track(self, dets, scores, cls, img=None):
-        return [STrack(xyxy, s, c) for xyxy, s, c in zip(dets, scores, cls)] if len(dets) else []
+    def measurement(self, tlwh: np.ndarray) -> np.ndarray:
+        """(k, 4) tlwh -> Kalman measurement space (xyah here)."""
+        m = tlwh.copy()
+        m[:, :2] += m[:, 2:] / 2
+        m[:, 2] /= m[:, 3]
+        return m
 
-    def get_dists(self, tracks, detections):
-        dists = matching.iou_distance(tracks, detections)
-        if self.args.fuse_score:
-            dists = matching.fuse_score(dists, detections)
+    def det_features(self, det, img):
+        return None                       # ReID hook (BOTSORT w/ encoder)
+
+    def fused_dists(self, idx, det) -> np.ndarray:
+        """Stage-1/3 association costs: IoU (+ optional score fusion)."""
+        dists = matching.iou_distance(self.store.xyxy(idx), det["xyxy"])
+        if self.args.fuse_score and dists.size:
+            dists = 1 - (1 - dists) * det["score"][None, :]
         return dists
 
-    def multi_predict(self, tracks):
-        STrack.multi_predict(tracks)
+    # ------------------------------------------------------------------------
 
-    def update(self, results, img=None):
-        """results: dict/obj with .conf, .xywh, .cls arrays for one frame.
+    def _split(self, results) -> tuple[dict, dict]:
+        """Partition raw detections into high / low confidence banks."""
+        score = np.asarray(results.conf, np.float64)
+        xywh = np.asarray(results.xywh, np.float64).reshape(len(score), -1)[:, :4] \
+            if len(score) else np.zeros((0, 4))
+        cls = np.asarray(results.cls, np.float64)
+        tlwh = xywh.copy()
+        tlwh[:, :2] -= tlwh[:, 2:] / 2
+        xyxy = np.concatenate([tlwh[:, :2], tlwh[:, :2] + tlwh[:, 2:]], 1)
+        det_idx = np.arange(len(score), dtype=np.float64)
 
-        Returns (n, 8) [x1, y1, x2, y2, id, conf, cls, det_idx].
-        """
+        def bank(m):
+            return {"tlwh": tlwh[m], "xyxy": xyxy[m], "score": score[m],
+                    "cls": cls[m], "idx": det_idx[m]}
+
+        hi = score >= self.args.track_high_thresh
+        lo = (score > self.args.track_low_thresh) & ~hi & \
+            (score < self.args.track_high_thresh)
+        return bank(hi), bank(lo)
+
+    def _associate(self, idx: list[int], det: dict, sel: np.ndarray,
+                   dists: np.ndarray, thresh: float):
+        """Hungarian-match store rows against a detection bank subset.
+
+        Returns (matched_rows, det_positions, unmatched_row_positions,
+        unmatched_det_positions)."""
+        matches, u_rows, u_dets = matching.linear_assignment(dists, thresh)
+        rows = np.asarray([idx[int(r)] for r, _ in matches], int)
+        dpos = np.asarray([sel[int(c)] for _, c in matches], int)
+        return rows, dpos, list(u_rows), list(u_dets)
+
+    def _apply_matches(self, rows, dpos, det, frame: int):
+        """One batched KF update for all matched rows; split into
+        continuations (were Tracked) and re-activations (were Lost)."""
+        if len(rows) == 0:
+            return [], []
+        cont = self.store.state[rows] == TrackState.Tracked
+        self.store.kf_update(rows, self.measurement(det["tlwh"][dpos]), self.kf)
+        self.store.mark_matched(rows, frame, det["score"][dpos],
+                                det["cls"][dpos], det["idx"][dpos], cont)
+        return [int(r) for r, c in zip(rows, cont) if c], \
+               [int(r) for r, c in zip(rows, cont) if not c]
+
+    def update(self, results, img=None) -> np.ndarray:
+        """Advance one frame. `results` carries .conf/.xywh/.cls arrays.
+
+        Returns (n, 8) float32 [x1, y1, x2, y2, id, conf, cls, det_idx] for
+        the activated tracks."""
         self.frame_id += 1
-        activated, refind, lost, removed = [], [], [], []
+        st = self.store
+        hi, lo = self._split(results)
 
-        scores = np.asarray(results.conf)
-        bboxes = np.asarray(results.xywh)
-        bboxes = np.concatenate([bboxes, np.arange(len(bboxes)).reshape(-1, 1)], axis=-1)
-        cls = np.asarray(results.cls)
+        confirmed = [i for i in self.tracked if st.active[i]]
+        unconfirmed = [i for i in self.tracked if not st.active[i]]
+        pool = _merge(confirmed, self.lost)
 
-        remain_inds = scores >= self.args.track_high_thresh
-        inds_low = (scores > self.args.track_low_thresh) & (scores < self.args.track_high_thresh)
+        # Motion: batched KF predict over the pool (+ optional GMC warp).
+        st.predict(pool, self.kf, self.still_dims)
+        if getattr(self, "gmc", None) is not None and img is not None:
+            H = self.gmc.apply(img, np.concatenate(
+                [hi["xyxy"], hi["score"][:, None], hi["cls"][:, None]], 1)
+                if len(hi["score"]) else np.zeros((0, 6)))
+            st.warp(pool, H)
+            st.warp(unconfirmed, H)
 
-        detections = self.init_track(bboxes[remain_inds], scores[remain_inds],
-                                     cls[remain_inds], img)
-        unconfirmed = [t for t in self.tracked_stracks if not t.is_activated]
-        tracked = [t for t in self.tracked_stracks if t.is_activated]
-        strack_pool = joint_stracks(tracked, self.lost_stracks)
+        # Stage 1: high-confidence detections vs tracked+lost pool.
+        feats = self.det_features(hi, img)
+        if feats is not None:
+            hi["feat"] = feats
+        sel_hi = np.arange(len(hi["score"]))
+        rows, dpos, u_pool, u_hi = self._associate(
+            pool, hi, sel_hi, self.fused_dists(pool, hi),
+            self.args.match_thresh)
+        act1, refound1 = self._apply_matches(rows, dpos, hi, self.frame_id)
 
-        # Stage 1: high-confidence association.
-        self.multi_predict(strack_pool)
-        if hasattr(self, "gmc") and img is not None:
-            warp = self.gmc.apply(img, bboxes[remain_inds])
-            STrack.multi_gmc(strack_pool, warp)
-            STrack.multi_gmc(unconfirmed, warp)
-        dists = self.get_dists(strack_pool, detections)
-        matches, u_track, u_detection = matching.linear_assignment(
-            dists, thresh=self.args.match_thresh)
-        for itracked, idet in matches:
-            track, det = strack_pool[itracked], detections[idet]
-            if track.state == TrackState.Tracked:
-                track.update(det, self.frame_id)
-                activated.append(track)
+        # Stage 2: low-confidence rescue for rows still in Tracked state.
+        rescue = [pool[i] for i in u_pool
+                  if st.state[pool[i]] == TrackState.Tracked]
+        sub_lo = {k: v for k, v in lo.items()}
+        d2 = matching.iou_distance(st.xyxy(rescue), lo["xyxy"])
+        rows, dpos, u_rescue, _ = self._associate(
+            rescue, sub_lo, np.arange(len(lo["score"])), d2, 0.5)
+        act2, refound2 = self._apply_matches(rows, dpos, lo, self.frame_id)
+
+        newly_lost = []
+        for p in u_rescue:
+            r = rescue[int(p)]
+            if st.state[r] != TrackState.Lost:
+                st.state[r] = TrackState.Lost
+                newly_lost.append(r)
+
+        # Stage 3: unconfirmed tracks vs detections left over from stage 1.
+        sel_rem = np.asarray([int(i) for i in u_hi], int)
+        rem = {k: v[sel_rem] for k, v in hi.items()}
+        rows, dpos, u_unc, u_rem = self._associate(
+            unconfirmed, rem, sel_rem, self.fused_dists(unconfirmed, rem),
+            0.7)
+        act3, _ = self._apply_matches(rows, dpos, hi, self.frame_id)
+        newly_removed = []
+        for p in u_unc:
+            r = unconfirmed[int(p)]
+            st.state[r] = TrackState.Removed
+            newly_removed.append(r)
+
+        # Births: remaining high-confidence detections above the birth bar.
+        born = []
+        birth_pos = np.asarray([int(sel_rem[int(p)]) for p in u_rem], int)
+        birth_pos = birth_pos[hi["score"][birth_pos] >= self.args.new_track_thresh] \
+            if len(birth_pos) else birth_pos
+        if len(birth_pos):
+            born = self._spawn(hi, birth_pos)
+
+        # Expiry: lost rows beyond the time budget.
+        for r in self.lost:
+            if self.frame_id - st.t_end[r] > self.max_time_lost:
+                st.state[r] = TrackState.Removed
+                newly_removed.append(r)
+
+        # Set algebra over index lists (same merge semantics as the
+        # reference's joint/sub/duplicate pruning, on rows instead of objects).
+        activated = act1 + act2 + act3 + born
+        refound = refound1 + refound2
+        tracked = [i for i in self.tracked if st.state[i] == TrackState.Tracked]
+        tracked = _merge(_merge(tracked, activated), refound)
+        lost = _without(self.lost, tracked) + newly_lost
+        lost = _without(lost, self.removed)
+        tracked, lost = self._prune_duplicates(tracked, lost)
+        self.tracked, self.lost = tracked, lost
+        self.removed.extend(newly_removed)
+        if len(self.removed) > 1000:
+            self.removed = self.removed[-999:]
+        if st.n > 4096 and st.n > 4 * (len(self.tracked) + len(self.lost)):
+            st.compact([self.tracked, self.lost, self.removed])
+
+        out = [i for i in self.tracked if st.active[i]]
+        return st.results(out)
+
+    def _spawn(self, det: dict, pos: np.ndarray) -> list[int]:
+        """Vectorized track births from a detection bank subset."""
+        st = self.store
+        k = len(pos)
+        rows = st.append(k)
+        st.mean[rows], st.cov[rows] = self.kf.multi_initiate(
+            self.measurement(det["tlwh"][pos]))
+        st.tid[rows] = np.arange(self._next_id + 1, self._next_id + k + 1)
+        self._next_id += k
+        st.state[rows] = TrackState.Tracked
+        st.active[rows] = self.frame_id == 1
+        st.score[rows] = det["score"][pos]
+        st.cls[rows] = det["cls"][pos]
+        st.det_idx[rows] = det["idx"][pos]
+        st.length[rows] = 0
+        st.t_start[rows] = st.t_end[rows] = self.frame_id
+        if det.get("feat") is not None and st.feat is not None:
+            st.feat[rows] = det["feat"][pos]
+        return [int(r) for r in rows]
+
+    def _prune_duplicates(self, tracked: list[int], lost: list[int]):
+        """Drop whichever of an IoU>0.85 tracked/lost pair is younger."""
+        st = self.store
+        d = matching.iou_distance(st.xyxy(np.asarray(tracked, int)),
+                                  st.xyxy(np.asarray(lost, int)))
+        pairs = np.where(d < 0.15)
+        drop_t, drop_l = set(), set()
+        for p, q in zip(*pairs):
+            age_t = st.t_end[tracked[p]] - st.t_start[tracked[p]]
+            age_l = st.t_end[lost[q]] - st.t_start[lost[q]]
+            if age_t > age_l:
+                drop_l.add(int(q))
             else:
-                track.re_activate(det, self.frame_id, new_id=False)
-                refind.append(track)
-
-        # Stage 2: low-confidence rescue association (the "BYTE" trick).
-        detections_second = self.init_track(bboxes[inds_low], scores[inds_low],
-                                            cls[inds_low], img)
-        r_tracked = [strack_pool[i] for i in u_track
-                     if strack_pool[i].state == TrackState.Tracked]
-        dists = matching.iou_distance(r_tracked, detections_second)
-        matches, u_track, _ = matching.linear_assignment(dists, thresh=0.5)
-        for itracked, idet in matches:
-            track, det = r_tracked[itracked], detections_second[idet]
-            if track.state == TrackState.Tracked:
-                track.update(det, self.frame_id)
-                activated.append(track)
-            else:
-                track.re_activate(det, self.frame_id, new_id=False)
-                refind.append(track)
-        for it in u_track:
-            track = r_tracked[it]
-            if track.state != TrackState.Lost:
-                track.mark_lost()
-                lost.append(track)
-
-        # Unconfirmed tracks vs leftover high-conf detections.
-        detections = [detections[i] for i in u_detection]
-        dists = self.get_dists(unconfirmed, detections)
-        matches, u_unconfirmed, u_detection = matching.linear_assignment(dists, thresh=0.7)
-        for itracked, idet in matches:
-            unconfirmed[itracked].update(detections[idet], self.frame_id)
-            activated.append(unconfirmed[itracked])
-        for it in u_unconfirmed:
-            track = unconfirmed[it]
-            track.mark_removed()
-            removed.append(track)
-
-        # New tracks from remaining detections.
-        for inew in u_detection:
-            track = detections[inew]
-            if track.score >= self.args.new_track_thresh:
-                track.activate(self.kalman_filter, self.frame_id)
-                activated.append(track)
-
-        # Expire lost tracks.
-        for track in self.lost_stracks:
-            if self.frame_id - track.end_frame > self.max_time_lost:
-                track.mark_removed()
-                removed.append(track)
-
-        self.tracked_stracks = [t for t in self.tracked_stracks if t.state == TrackState.Tracked]
-        self.tracked_stracks = joint_stracks(self.tracked_stracks, activated)
-        self.tracked_stracks = joint_stracks(self.tracked_stracks, refind)
-        self.lost_stracks = sub_stracks(self.lost_stracks, self.tracked_stracks)
-        self.lost_stracks.extend(lost)
-        self.lost_stracks = sub_stracks(self.lost_stracks, self.removed_stracks)
-        self.tracked_stracks, self.lost_stracks = remove_duplicate_stracks(
-            self.tracked_stracks, self.lost_stracks)
-        self.removed_stracks.extend(removed)
-        if len(self.removed_stracks) > 1000:
-            self.removed_stracks = self.removed_stracks[-999:]
-
-        return np.asarray([t.result for t in self.tracked_stracks if t.is_activated],
-                          dtype=np.float32)
+                drop_t.add(int(p))
+        return ([t for i, t in enumerate(tracked) if i not in drop_t],
+                [t for i, t in enumerate(lost) if i not in drop_l])
 
     def reset(self):
-        self.tracked_stracks = []
-        self.lost_stracks = []
-        self.removed_stracks = []
-        self.frame_id = 0
-        self.kalman_filter = self.get_kalmanfilter()
-        BaseTrack.reset_id()
-
-
-def joint_stracks(tlista, tlistb):
-    exists = {t.track_id for t in tlista}
-    return tlista + [t for t in tlistb if t.track_id not in exists]
-
-
-def sub_stracks(tlista, tlistb):
-    ids_b = {t.track_id for t in tlistb}
-    return [t for t in tlista if t.track_id not in ids_b]
-
-
-def remove_duplicate_stracks(stracksa, stracksb):
-    pdist = matching.iou_distance(stracksa, stracksb)
-    pairs = np.where(pdist < 0.15)
-    dupa, dupb = [], []
-    for p, q in zip(*pairs):
-        timep = stracksa[p].frame_id - stracksa[p].start_frame
-        timeq = stracksb[q].frame_id - stracksb[q].start_frame
-        if timep > timeq:
-            dupb.append(q)
-        else:
-            dupa.append(p)
-    resa = [t for i, t in enumerate(stracksa) if i not in dupa]
-    resb = [t for i, t in enumerate(stracksb) if i not in dupb]
-    return resa, resb
+        BYTETracker.__init__(self, self.args, frame_rate=self._frame_rate)

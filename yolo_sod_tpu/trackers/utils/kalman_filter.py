@@ -96,6 +96,41 @@ class KalmanFilterXYAH:
         new_cov = covariance - kalman_gain @ projected_cov @ kalman_gain.T
         return new_mean, new_cov
 
+    # ---- batched forms (array-first tracker store) -------------------------
+
+    def _multi_std_proj(self, mean):
+        """Projection stds for (N, 8) means -> (N, 4)."""
+        pw = self._std_weight_position
+        h = mean[:, 3]
+        return np.stack([pw * h, pw * h, np.full(len(mean), 1e-1), pw * h], 1)
+
+    def multi_initiate(self, measurements):
+        """Vectorized initiate: (N, 4) measurements -> (N, 8), (N, 8, 8)."""
+        n = len(measurements)
+        mean = np.concatenate([measurements, np.zeros((n, 4))], 1)
+        pw, vw = 2 * self._std_weight_position, 10 * self._std_weight_velocity
+        h = measurements[:, 3]
+        std = np.stack([pw * h, pw * h, np.full(n, 1e-2), pw * h,
+                        vw * h, vw * h, np.full(n, 1e-5), vw * h], 1)
+        cov = np.einsum("ni,ij->nij", np.square(std), np.eye(8))
+        return mean, cov
+
+    def multi_project(self, mean, covariance):
+        """Vectorized project: (N, 8), (N, 8, 8) -> (N, 4), (N, 4, 4)."""
+        std = self._multi_std_proj(mean)
+        inno = np.einsum("ni,ij->nij", np.square(std), np.eye(4))
+        return mean[:, :4].copy(), covariance[:, :4, :4] + inno
+
+    def multi_update(self, mean, covariance, measurements):
+        """Vectorized KF update over N tracks (same math as `update`)."""
+        proj_mean, proj_cov = self.multi_project(mean, covariance)
+        b = np.transpose(covariance[:, :, :4], (0, 2, 1))      # (N, 4, 8) = (P Hᵀ)ᵀ
+        gain = np.transpose(np.linalg.solve(proj_cov, b), (0, 2, 1))  # (N, 8, 4)
+        innovation = measurements - proj_mean
+        new_mean = mean + np.einsum("nij,nj->ni", gain, innovation)
+        new_cov = covariance - gain @ proj_cov @ np.transpose(gain, (0, 2, 1))
+        return new_mean, new_cov
+
     def gating_distance(self, mean, covariance, measurements,
                         only_position: bool = False, metric: str = "maha"):
         mean, covariance = self.project(mean, covariance)
@@ -149,3 +184,18 @@ class KalmanFilterXYWH(KalmanFilterXYAH):
         m = self._update_mat @ mean
         c = self._update_mat @ covariance @ self._update_mat.T
         return m, c + innovation_cov
+
+    def _multi_std_proj(self, mean):
+        pw = self._std_weight_position
+        w, h = mean[:, 2], mean[:, 3]
+        return np.stack([pw * w, pw * h, pw * w, pw * h], 1)
+
+    def multi_initiate(self, measurements):
+        n = len(measurements)
+        mean = np.concatenate([measurements, np.zeros((n, 4))], 1)
+        pw, vw = 2 * self._std_weight_position, 10 * self._std_weight_velocity
+        w, h = measurements[:, 2], measurements[:, 3]
+        std = np.stack([pw * w, pw * h, pw * w, pw * h,
+                        vw * w, vw * h, vw * w, vw * h], 1)
+        cov = np.einsum("ni,ij->nij", np.square(std), np.eye(8))
+        return mean, cov

@@ -21,10 +21,20 @@ def linear_assignment(cost_matrix: np.ndarray, thresh: float):
         return (np.empty((0, 2), int), tuple(range(cost_matrix.shape[0])),
                 tuple(range(cost_matrix.shape[1])))
     if SCIPY:
-        cost = cost_matrix.copy()
-        cost[cost > thresh] = thresh + 1e-4
-        rows, cols = linear_sum_assignment(cost)
-        matches = [[r, c] for r, c in zip(rows, cols) if cost_matrix[r, c] <= thresh]
+        # Constrained assignment with a per-pair cost ceiling — the same
+        # problem lap.lapjv(extend_cost=True, cost_limit=thresh) solves (the
+        # reference's production path, trackers/utils/matching.py:46): embed
+        # the (n, m) costs in an (n+m, n+m) square where staying unmatched
+        # costs thresh/2 per side, so a real pair is taken iff its cost beats
+        # thresh. A plain lsap-then-filter can differ (it must match
+        # everything, then drops over-threshold pairs that a constrained
+        # optimum would have rerouted).
+        n, m = cost_matrix.shape
+        ext = np.full((n + m, n + m), thresh / 2.0, cost_matrix.dtype)
+        ext[n:, m:] = 0.0
+        ext[:n, :m] = cost_matrix
+        rows, cols = linear_sum_assignment(ext)
+        matches = [[r, c] for r, c in zip(rows, cols) if r < n and c < m]
     else:  # greedy fallback
         matches = []
         used_r, used_c = set(), set()
@@ -37,8 +47,8 @@ def linear_assignment(cost_matrix: np.ndarray, thresh: float):
             used_r.add(r)
             used_c.add(c)
     matches = np.array(matches, int).reshape(-1, 2)
-    unmatched_a = tuple(set(range(cost_matrix.shape[0])) - set(matches[:, 0]))
-    unmatched_b = tuple(set(range(cost_matrix.shape[1])) - set(matches[:, 1]))
+    unmatched_a = tuple(sorted(set(range(cost_matrix.shape[0])) - set(matches[:, 0])))
+    unmatched_b = tuple(sorted(set(range(cost_matrix.shape[1])) - set(matches[:, 1])))
     return matches, unmatched_a, unmatched_b
 
 
