@@ -91,9 +91,6 @@ class YOLODataset:
         self.epoch = 0   # bumped by the loader; salts per-item RNG
         self.cache = "ram" if cache in (True, "ram", "True") else None
         self._im_cache = [None] * len(self.im_files) if self.cache else None
-        if task != "detect":
-            # seg masks / kpt val run at the square canvas for now
-            self.rect = False
         self.rect_shapes = self._compute_rect_shapes() \
             if (self.rect and not self.augment) else None
         n_boxes = sum(len(l) for l in self.labels)
@@ -337,7 +334,7 @@ class YOLODataset:
             else:
                 from yolo_sod_tpu.data.utils import pixel_polys_to_masks
 
-                item_masks = pixel_polys_to_masks(segs_px, self.imgsz, self.mask_ratio)
+                item_masks = pixel_polys_to_masks(segs_px, (h, w), self.mask_ratio)
         return {
             "img": np.ascontiguousarray(img),
             "labels": labels.astype(np.float32),

@@ -225,13 +225,15 @@ def polygons_to_masks(segments, imgsz: int, ratio, pad, mask_ratio: int = 4) -> 
     return masks
 
 
-def pixel_polys_to_masks(polys, imgsz: int, mask_ratio: int = 4) -> np.ndarray:
+def pixel_polys_to_masks(polys, shape, mask_ratio: int = 4) -> np.ndarray:
     """Rasterize pixel-space polygons (final-image coords) into per-instance
-    masks at imgsz/mask_ratio resolution."""
+    masks at shape/mask_ratio resolution. `shape` is (h, w) or a square int —
+    rect val letterboxes to non-square canvases (reference segment/val.py
+    letterboxes masks through the same rect pipeline)."""
     import cv2
 
-    m = imgsz // mask_ratio
-    masks = np.zeros((len(polys), m, m), np.float32)
+    h, w = (shape, shape) if isinstance(shape, int) else shape
+    masks = np.zeros((len(polys), h // mask_ratio, w // mask_ratio), np.float32)
     for i, pts in enumerate(polys):
         cv2.fillPoly(masks[i], [(pts / mask_ratio).astype(np.int32)], 1.0)
     return masks

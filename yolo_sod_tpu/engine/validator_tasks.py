@@ -98,7 +98,7 @@ class SegmentationValidator(DetectionValidator):
 
         conf = args.conf if args.conf not in (None, 0) else 0.001
         fn = self._build_fn(model, conf, args.iou, args.max_det)
-        imgsz = args.imgsz
+
 
         metrics = SegmentMetrics(names=names)
         stats = {"tp": [], "tp_m": [], "conf": [], "pred_cls": [], "target_cls": []}
@@ -109,6 +109,7 @@ class SegmentationValidator(DetectionValidator):
             nb = img.shape[0]
             if nb < B:
                 img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
+            h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
             det, n_valid, masks = fn(variables, jnp.asarray(img))
             det = np.asarray(jax.device_get(det))
             n_valid = np.asarray(jax.device_get(n_valid))
@@ -121,12 +122,13 @@ class SegmentationValidator(DetectionValidator):
                 gt_cls = batch["cls"][bi][m]
                 gt_xywhn = np.concatenate([gt_cls[:, None],
                                            batch["bboxes"][bi][m]], axis=1)
-                gt_xyxy = xywhn2xyxy(gt_xywhn, imgsz, imgsz)[:, 1:]
+                gt_xyxy = xywhn2xyxy(gt_xywhn, w_im, h_im)[:, 1:]
                 gt_masks = batch["masks"][bi][m]
                 # Downsample pred masks to the gt mask resolution if needed.
                 if pm.shape[1:] != gt_masks.shape[1:]:
-                    sy = pm.shape[1] // gt_masks.shape[1]
-                    pm = pm[:, ::sy, ::sy]
+                    sy = max(pm.shape[1] // gt_masks.shape[1], 1)
+                    sx = max(pm.shape[2] // gt_masks.shape[2], 1)
+                    pm = pm[:, ::sy, ::sx]
                 stats["target_cls"].append(gt_cls)
                 if len(d) == 0:
                     continue
@@ -236,7 +238,7 @@ class PoseValidator(DetectionValidator):
 
         conf = args.conf if args.conf not in (None, 0) else 0.001
         fn = self._build_fn(model, conf, args.iou, args.max_det)
-        imgsz = args.imgsz
+
 
         metrics = PoseMetrics(names=names)
         stats = {"tp": [], "tp_p": [], "conf": [], "pred_cls": [], "target_cls": []}
@@ -247,6 +249,7 @@ class PoseValidator(DetectionValidator):
             nb = img.shape[0]
             if nb < B:
                 img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
+            h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
             det, n_valid, kpts = fn(variables, jnp.asarray(img))
             det = np.asarray(jax.device_get(det))
             n_valid = np.asarray(jax.device_get(n_valid))
@@ -259,10 +262,10 @@ class PoseValidator(DetectionValidator):
                 gt_cls = batch["cls"][bi][m]
                 gt_xywhn = np.concatenate([gt_cls[:, None],
                                            batch["bboxes"][bi][m]], axis=1)
-                gt_xyxy = xywhn2xyxy(gt_xywhn, imgsz, imgsz)[:, 1:]
+                gt_xyxy = xywhn2xyxy(gt_xywhn, w_im, h_im)[:, 1:]
                 gt_kpts = batch["keypoints"][bi][m].copy()
-                gt_kpts[..., 0] *= imgsz
-                gt_kpts[..., 1] *= imgsz
+                gt_kpts[..., 0] *= w_im
+                gt_kpts[..., 1] *= h_im
                 # OKS area = 0.53 * box area (reference pose/val.py contract).
                 areas = ((gt_xyxy[:, 2] - gt_xyxy[:, 0]) *
                          (gt_xyxy[:, 3] - gt_xyxy[:, 1]) * 0.53)
@@ -335,7 +338,7 @@ class OBBValidator(DetectionValidator):
 
         conf = args.conf if args.conf not in (None, 0) else 0.001
         fn = self._build_fn(model, conf, args.iou, args.max_det)
-        imgsz = args.imgsz
+
 
         metrics = DetMetrics(names=names)
         stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
@@ -346,6 +349,7 @@ class OBBValidator(DetectionValidator):
             nb = img.shape[0]
             if nb < B:
                 img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
+            h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
             det, n_valid, xywh, ang = fn(variables, jnp.asarray(img))
             det = np.asarray(jax.device_get(det))
             n_valid = np.asarray(jax.device_get(n_valid))
@@ -359,7 +363,8 @@ class OBBValidator(DetectionValidator):
                 gt_cls = batch["cls"][bi][m]
                 # bboxes carry the ROTATED rect for the obb task.
                 gt_rb = np.concatenate(
-                    [batch["bboxes"][bi][m] * imgsz,
+                    [batch["bboxes"][bi][m] *
+                     np.array([w_im, h_im, w_im, h_im], np.float32),
                      batch["angles"][bi][m][:, None]], 1)
                 stats["target_cls"].append(gt_cls)
                 if len(d) == 0:
