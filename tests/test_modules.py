@@ -233,6 +233,31 @@ def test_exact_topk_lastdim_matches_lax():
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
 
+def test_topk_mask_lastdim_matches_lax():
+    """The selection MASK of lax.top_k — heavy ties (the TAL zero-align
+    regime), duplicates straddling the k-th value, ragged padding, and the
+    small-input passthrough."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.ops.numerics import topk_mask_lastdim
+
+    rng = np.random.default_rng(7)
+    for shape, k, chunk in (((4, 7, 1000), 10, 256), ((2, 513), 10, 128),
+                            ((3, 100), 5, 256), ((2, 34000), 10, 256)):
+        x = rng.standard_normal(shape).astype(np.float32)
+        x[x < 0.5] = 0.0                       # many exact zero ties
+        x[..., ::17] = 0.25                    # duplicate band at the margin
+        xv = jnp.asarray(x)
+        _, i_ref = jax.lax.top_k(xv, k)
+        ref = np.zeros(shape, bool).reshape(-1, shape[-1])
+        for r, row in enumerate(np.asarray(i_ref).reshape(-1, k)):
+            ref[r, row] = True
+        got = np.asarray(topk_mask_lastdim(xv, k, chunk=chunk))
+        np.testing.assert_array_equal(got.reshape(-1, shape[-1]), ref)
+        assert got.sum(-1).max() <= k
+
+
 def test_sage_attention_env_gate(monkeypatch):
     from yolo_sod_tpu.ops.pallas_attention_int8 import sage_enabled
 
