@@ -65,26 +65,45 @@ class DetectionValidator:
 
     def __call__(self, model=None, variables=None, data: Optional[dict] = None):
         args = self.args
-        variables = variables if variables is not None else model.variables
-        if args.half:
-            variables = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-                variables)
+        # An AutoBackend (exported artifact / remote server) vals through its
+        # uniform forward(); its conf/iou/NMS mode are baked into the artifact
+        # (reference benchmark() re-vals every export format the same way).
+        backend = model if (model is not None and hasattr(model, "forward")
+                            and hasattr(model, "format")) else None
+        if backend is None:
+            variables = variables if variables is not None else model.variables
+            if args.half:
+                variables = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                    variables)
 
         if data is None:
             data = check_det_dataset(args.data)
-        names = data.get("names", getattr(model, "names", {}))
-        nc = data.get("nc", model.nc)
+        if backend is None:
+            names = data.get("names", getattr(model, "names", {}))
+            nc = data.get("nc", model.nc)
+        else:
+            names = backend.names or data.get("names", {})
+            nc = data.get("nc", len(names))
 
         if self.dataloader is None:
-            dataset = build_yolo_dataset(vars(args) if not isinstance(args, dict) else args,
-                                         data["val"], args.batch, data, mode="val",
-                                         stride=int(max(model.stride)))
+            cfg = dict(vars(args) if not isinstance(args, dict) else args)
+            if backend is not None:
+                cfg["rect"] = False   # exported graphs are fixed-shape
+            dataset = build_yolo_dataset(cfg, data["val"], args.batch, data,
+                                         mode="val",
+                                         stride=32 if backend is not None
+                                         else int(max(model.stride)))
+            if backend is not None:
+                dataset.rect_shapes = None
             self.dataloader = build_dataloader(dataset, args.batch, shuffle=False)
 
         imgsz = args.imgsz
         conf = args.conf if args.conf not in (None, 0) else 0.001
-        fn = self._build_fn(model, conf, args.iou, args.max_det)
+        if backend is not None:
+            fn = lambda v, x: backend.forward(np.asarray(x))  # noqa: E731
+        else:
+            fn = self._build_fn(model, conf, args.iou, args.max_det)
         dev_variables = variables
 
         metrics = DetMetrics(names=names)

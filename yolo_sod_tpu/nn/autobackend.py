@@ -6,7 +6,10 @@ format sniffing by suffix/magic, metadata recovery, uniform
 
 Supported: native .ckpt (rebuild model + jit), .stablehlo (jax.export
 deserialize — runs the exact serialized fused graph), .tflite (TFLite
-interpreter, host CPU).
+interpreter, host CPU), *_saved_model dirs (TF SavedModel via jax2tf),
+and http(s)://host/model Triton inference-server URLs (remote KServe-v2,
+utils/triton.py — the served model must be one of our exported fused
+pipelines returning (det, n)).
 """
 
 from __future__ import annotations
@@ -30,7 +33,10 @@ class AutoBackend:
         self.names: dict = {}
         self.imgsz = None
         suffix = self.path.suffix.lower()
-        if suffix in (".ckpt", ".msgpack"):
+        if str(weights).startswith(("http://", "https://", "grpc://")):
+            self._init_triton(str(weights))
+            self.format = "triton"
+        elif suffix in (".ckpt", ".msgpack"):
             self._init_native(conf, iou, max_det)
             self.format = "ckpt"
         elif suffix == ".stablehlo":
@@ -39,6 +45,9 @@ class AutoBackend:
         elif suffix == ".tflite":
             self._init_tflite()
             self.format = "tflite"
+        elif self.path.is_dir() or str(weights).endswith("_saved_model"):
+            self._init_saved_model()
+            self.format = "saved_model"
         else:
             raise ValueError(f"unsupported weights format: {self.path}")
         LOGGER.info(f"AutoBackend: loaded {self.format} backend from {self.path}")
@@ -93,13 +102,46 @@ class AutoBackend:
             self._interp.set_tensor(self._in[0]["index"], np.asarray(x, np.float32))
             self._interp.invoke()
             outs = [self._interp.get_tensor(o["index"]) for o in self._out]
+            # (det, n): det is the rank-3 output, n the rank-1 counts —
+            # interpreter output order is not contractual.
+            outs.sort(key=lambda a: -a.ndim)
+            return tuple(outs)
+        self._fn = fn
+
+    # -- saved_model ------------------------------------------------------------
+    def _init_saved_model(self):
+        import tensorflow as tf
+
+        mod = tf.saved_model.load(str(self.path))
+        sig = mod.signatures["serving_default"]
+
+        def fn(x):
+            out = sig(tf.constant(np.asarray(x, np.float32)))
+            vals = [v.numpy() for v in out.values()]
+            # (det, n): det is the rank-3 output, n the rank-1 counts.
+            vals.sort(key=lambda a: -a.ndim)
+            return tuple(vals)
+        self._mod = mod   # keep the loaded module alive
+        self._fn = fn
+
+    # -- triton -----------------------------------------------------------------
+    def _init_triton(self, url: str):
+        from yolo_sod_tpu.utils.triton import TritonRemoteModel
+
+        self._client = TritonRemoteModel(url)
+
+        def fn(x):
+            outs = self._client(np.asarray(x, np.float32))
+            outs = sorted(outs, key=lambda a: -a.ndim)
             return tuple(outs)
         self._fn = fn
 
     # -- uniform API ----------------------------------------------------------
     def forward(self, im):
         """im: (B, H, W, 3) float32 in [0,1] → (det (B, max_det, 6), n (B,))."""
-        out = self._fn(jnp.asarray(im) if self.format != "tflite" else im)
+        out = self._fn(jnp.asarray(im)
+                       if self.format not in ("tflite", "saved_model", "triton")
+                       else im)
         det, n = out[0], out[1]
         return np.asarray(jax.device_get(det)), np.asarray(jax.device_get(n))
 

@@ -15,11 +15,17 @@ from yolo_sod_tpu.utils import LOGGER, colorstr
 
 
 def benchmark(model=None, imgsz: int = 640, batch: int = 1, half: bool = True,
-              formats=("ckpt", "stablehlo"), iters: int = 10, verbose: bool = True):
-    """Export + re-run the fused pipeline per format; returns rows of results."""
+              formats=("ckpt", "stablehlo"), iters: int = 10, verbose: bool = True,
+              data=None, conf: float = 0.001):
+    """Export + re-run the fused pipeline per format; returns rows of results.
+
+    With `data` (a dataset yaml), each exported artifact is additionally
+    re-validated through the standard DetectionValidator — the reference
+    benchmark() doctrine (utils/benchmarks.py:50: export every format, val
+    each, report mAP + speed)."""
+    from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
     from yolo_sod_tpu.engine.exporter import Exporter
     from yolo_sod_tpu.nn.autobackend import AutoBackend
-    from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
 
     results = []
     rng = np.random.default_rng(0)
@@ -28,7 +34,7 @@ def benchmark(model=None, imgsz: int = 640, batch: int = 1, half: bool = True,
         try:
             args = get_cfg(DEFAULT_CFG_DICT, {"imgsz": imgsz, "batch": batch,
                                               "half": half, "format": fmt,
-                                              "mode": "export"})
+                                              "conf": conf, "mode": "export"})
             path = Exporter(args=args)(model=model.model if hasattr(model, "model") else model,
                                        fmt=fmt)
             backend = AutoBackend(path).warmup((batch, imgsz, imgsz, 3))
@@ -38,17 +44,30 @@ def benchmark(model=None, imgsz: int = 640, batch: int = 1, half: bool = True,
                 backend.forward(x)
                 times.append(time.perf_counter() - t0)
             p50 = float(np.median(times)) * 1000
-            results.append({"format": fmt, "status": "ok",
-                            "latency_ms": round(p50, 2),
-                            "imgs_per_sec": round(batch / (p50 / 1000), 1),
-                            "file": path})
+            row = {"format": fmt, "status": "ok",
+                   "latency_ms": round(p50, 2),
+                   "imgs_per_sec": round(batch / (p50 / 1000), 1),
+                   "file": path}
+            if data is not None:
+                from yolo_sod_tpu.engine.validator import DetectionValidator
+
+                vargs = get_cfg(DEFAULT_CFG_DICT, {
+                    "data": str(data), "imgsz": imgsz, "batch": batch,
+                    "conf": conf, "mode": "val", "plots": False,
+                    "verbose": False})
+                metrics = DetectionValidator(args=vargs)(model=backend)
+                mp, mr, map50, map5095 = metrics.mean_results()
+                row.update({"mAP50": round(float(map50), 4),
+                            "mAP50-95": round(float(map5095), 4)})
+            results.append(row)
         except Exception as e:
             results.append({"format": fmt, "status": f"fail: {e}"})
     if verbose:
         LOGGER.info(f"{colorstr('benchmark:')} imgsz={imgsz} batch={batch}")
         for r in results:
+            extra = f"  mAP50-95={r['mAP50-95']}" if "mAP50-95" in r else ""
             LOGGER.info(f"  {r['format']:<12} {r.get('latency_ms', '-'):>8} ms  "
-                        f"{r.get('imgs_per_sec', '-'):>8} img/s  {r['status']}")
+                        f"{r.get('imgs_per_sec', '-'):>8} img/s  {r['status']}{extra}")
     return results
 
 
