@@ -151,6 +151,9 @@ class Model:
         from yolo_sod_tpu.engine.exporter import Exporter
 
         args = {**self.overrides, "mode": "export", **kwargs}
+        # Export batch defaults to 1 (the reference exporter's default), not
+        # the training default — exported graphs are fixed-batch.
+        args.setdefault("batch", 1)
         return Exporter(args=get_cfg(DEFAULT_CFG_DICT, args))(model=self.model)
 
     def track(self, source=None, persist: bool = False, **kwargs):
