@@ -215,6 +215,48 @@ def test_window_attention_fused_matches_einsum_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_window_mhsa_packed_fwd_bwd_interpret():
+    """Lane-packed multi-head window kernel: forward AND custom-VJP gradients
+    must match the reference einsum attention (interpret mode on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.ops.pallas_window_attn import window_mhsa_packed
+
+    rng = np.random.default_rng(5)
+    BW, L, C, H = 96, 49, 64, 2
+    q = jnp.asarray(rng.standard_normal((BW, L, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((BW, L, C)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((BW, L, C)), jnp.float32)
+
+    def ref(q, k, v):
+        hd = C // H
+        def split(t):
+            return t.reshape(BW, L, H, hd).transpose(0, 2, 1, 3)
+        qh, kh, vh = split(q), split(k), split(v)
+        s = jnp.einsum("bhnd,bhmd->bhnm", qh, kh) * (hd ** -0.5)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, vh)
+        return o.transpose(0, 2, 1, 3).reshape(BW, L, C)
+
+    got = window_mhsa_packed(q, k, v, H, 32, True)
+    want = ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # Gradients through the custom VJP vs AD of the reference.
+    co = jnp.asarray(rng.standard_normal((BW, L, C)), jnp.float32)
+    g_got = jax.grad(lambda a, b, c:
+                     (window_mhsa_packed(a, b, c, H, 32, True) * co).sum(),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda a, b, c: (ref(a, b, c) * co).sum(),
+                     argnums=(0, 1, 2))(q, k, v)
+    for gg, gr, name in zip(g_got, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"d{name}")
+
+
 def test_exact_topk_lastdim_matches_lax():
     """Two-stage top-k is exact, incl. tie-breaking (stable lowest-index),
     ragged chunk padding, and the small-input passthrough."""

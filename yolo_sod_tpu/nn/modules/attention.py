@@ -153,6 +153,18 @@ class MHSA(nn.Module):
         qkv = nn.Dense(3 * C, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
+        # Window regime (thousands of tiny sequences, e.g. the P2 Swin site:
+        # 8464 windows x 49 tokens): the lane-packed Pallas kernel keeps the
+        # (H, L, L) score block in VMEM in BOTH directions (custom VJP) and
+        # reads/writes only head-packed (B, L, C) tiles. See
+        # ops/pallas_window_attn.py for why heads stay packed in lanes.
+        from yolo_sod_tpu.ops.pallas_attention import _tpu_backend
+        from yolo_sod_tpu.ops.pallas_window_attn import window_mhsa_packed
+        if (_tpu_backend() and B >= 256 and L <= 64 and C <= 256
+                and C % self.num_heads == 0):
+            o = window_mhsa_packed(q, k, v, self.num_heads)
+            return nn.Dense(C, name="out_proj")(o)
+
         def heads(t):
             return t.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
 

@@ -431,7 +431,18 @@ class DetectionModel:
         graph. Tail clipping (reference _clip_augmented) drops the coarsest
         level of the up-scaled pass and the finest level of the down-scaled
         pass, matching the reference's P-level trust heuristic.
+
+        End-to-end heads (v10Detect's NMS-free top-k, RT-DETR's query
+        decoder) don't have per-anchor level maps to scale-merge — like the
+        reference (tasks.py:381-418), warn and fall back to single-scale.
         """
+        head = self.graph.specs[self.graph.detect_index].name \
+            if self.graph.detect_index >= 0 else "Detect"
+        if head in ("v10Detect", "RTDETRDecoder", "DETRAuxHead"):
+            LOGGER.warning(
+                f"WARNING: {head} does not support 'augment=True' prediction; "
+                "reverting to single-scale")
+            return self.predict(variables, x)
         B, H, W, C = x.shape
         gs = int(self.stride.max())
         outs = []

@@ -1,16 +1,20 @@
-"""Pallas TPU kernel: fused attention for many tiny windows.
+"""Pallas TPU kernel: fused multi-head attention for many tiny windows.
 
-The Swin sites run MSA over thousands of 7x7=49-token windows (8464
-windows x 2 heads at the P2 neck level, 640^2 input). The flash kernel
-(ops/pallas_attention.py) is built for long sequences — its 512-wide
-blocks would be 90% padding at L=49. Here the whole (L, L) score matrix
-of a *batch of windows* lives in VMEM: HBM touches only q/k/v/o, so the
-score traffic (measured ~1 GB f32 per forward at this site,
-tools/hlo_bytes.py) disappears entirely.
+The Swin sites run MSA over thousands of 7x7=49-token windows (8464 windows
+x 2 heads of head_dim 32 at the P2 neck level, 640^2 input). The flash
+kernel (ops/pallas_attention.py) is built for long sequences — its 512-wide
+blocks would be 90% padding at L=49.
 
-Grid: (BW / block_b,) over window-batches; block = (block_b, L, D) with
-L padded to a sublane multiple and D in lanes. Compute is a few MF per
-block — this kernel is pure bandwidth play.
+Round-2 negative result: a HEAD-SPLIT kernel (q/k/v as (BW*H, L, hd)) lost
+to the einsum form because hd=16..32 lanes pad to 128 in HBM tiles — up to
+8x IO amplification (PERF.md). This round's fix is LANE PACKING (VERDICT r2
+item 4): q/k/v stay (BW, L, C) with ALL heads packed in the lane dimension
+(C=64 -> 2x pad instead of 8x), heads are split only inside VMEM, and the
+(H, L, L) score block never touches HBM — in either direction: a custom VJP
+recomputes the probabilities in VMEM and emits dq/dk/dv straight from the
+same tiles, so the backward also skips the score-matrix round-trips that
+dominate the XLA lowering (measured ~11 ms fwd+bwd at the P2 Swin site,
+jax.profiler trace).
 """
 
 from __future__ import annotations
@@ -24,6 +28,131 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+
+def _split_heads(t, heads: int):
+    BB, Lp, C = t.shape
+    return t.reshape(BB, Lp, heads, C // heads)
+
+
+def _probs(q, k, scale, l_real):
+    """(BB, H, Lp, Lp) softmax probabilities, f32, padded cols masked."""
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
+        preferred_element_type=jnp.float32) * scale       # (BB, H, Lp, Lp)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    s = jnp.where(col < l_real, s, NEG_INF)
+    m = s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / p.sum(axis=-1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float,
+                l_real: int):
+    q = _split_heads(q_ref[...].astype(jnp.float32), heads)   # (BB, Lp, H, hd)
+    k = _split_heads(k_ref[...].astype(jnp.float32), heads)
+    v = _split_heads(v_ref[...].astype(jnp.float32), heads)
+    p = _probs(q, k, scale, l_real)                           # (BB, H, Lp, Lp)
+    o = jax.lax.dot_general(                                  # (BB, H, Lp, hd)
+        p, v, dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))))
+    BB, H, Lp, hd = o.shape
+    o_ref[...] = o.transpose(0, 2, 1, 3).reshape(BB, Lp, H * hd).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                heads: int, scale: float, l_real: int):
+    q = _split_heads(q_ref[...].astype(jnp.float32), heads)
+    k = _split_heads(k_ref[...].astype(jnp.float32), heads)
+    v = _split_heads(v_ref[...].astype(jnp.float32), heads)
+    do = _split_heads(do_ref[...].astype(jnp.float32), heads)  # (BB, Lp, H, hd)
+    p = _probs(q, k, scale, l_real)                            # (BB, H, Lp, Lp)
+
+    # dv[b,h,m,d] = sum_n p[b,h,n,m] do[b,n,h,d]
+    dv = jax.lax.dot_general(
+        p, do, dimension_numbers=(((2,), (1,)), ((0, 1), (0, 2))))
+    # dp[b,h,n,m] = sum_d do[b,n,h,d] v[b,m,h,d]
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))))
+    ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))       # (BB, H, Lp, Lp)
+    # dq[b,n,h,d] = scale * sum_m ds[b,h,n,m] k[b,m,h,d]
+    dq = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2)))) * scale
+    # dk[b,m,h,d] = scale * sum_n ds[b,h,n,m] q[b,n,h,d]
+    dk = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((2,), (1,)), ((0, 1), (0, 2)))) * scale
+
+    BB, H, Lp, hd = dq.shape
+
+    def mix(t):
+        return t.transpose(0, 2, 1, 3).reshape(BB, Lp, H * hd)
+
+    dq_ref[...] = mix(dq).astype(dq_ref.dtype)
+    dk_ref[...] = mix(dk).astype(dk_ref.dtype)
+    dv_ref[...] = mix(dv).astype(dv_ref.dtype)
+
+
+def _pad_blocks(t, Lp: int, pb: int):
+    L = t.shape[1]
+    if Lp != L:
+        t = jnp.pad(t, ((0, 0), (0, Lp - L), (0, 0)))
+    if pb:
+        t = jnp.pad(t, ((0, pb), (0, 0), (0, 0)))
+    return t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def window_mhsa_packed(q, k, v, heads: int, block_b: int = 32,
+                       interpret: bool = False):
+    """Per-window multi-head softmax(q kᵀ/√hd) v with heads packed in lanes.
+
+    Args:
+        q, k, v: (BW, L, C) — BW independent windows, L tokens, C = H*hd
+            channels with the head split applied INSIDE the kernel.
+
+    Returns:
+        (BW, L, C) in q's dtype (heads re-packed).
+    """
+    out, _ = _window_mhsa_fwd(q, k, v, heads, block_b, interpret)
+    return out
+
+
+def _call(kernel, n_out, q, k, v, extra, heads, block_b, interpret):
+    BW, L, C = q.shape
+    scale = (C // heads) ** -0.5
+    Lp = -(-L // 8) * 8
+    pb = (-BW) % block_b
+    ins = [_pad_blocks(t, Lp, pb) for t in (q, k, v, *extra)]
+    BWp = BW + pb
+    spec = pl.BlockSpec((block_b, Lp, C), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(kernel, heads=heads, scale=scale, l_real=L),
+        grid=(BWp // block_b,),
+        in_specs=[spec] * len(ins),
+        out_specs=[spec] * n_out if n_out > 1 else spec,
+        out_shape=[jax.ShapeDtypeStruct((BWp, Lp, C), q.dtype)] * n_out
+        if n_out > 1 else jax.ShapeDtypeStruct((BWp, Lp, C), q.dtype),
+        interpret=interpret,
+    )(*ins)
+    if n_out == 1:
+        return outs[:BW, :L]
+    return tuple(o[:BW, :L] for o in outs)
+
+
+def _window_mhsa_fwd(q, k, v, heads, block_b, interpret):
+    out = _call(_fwd_kernel, 1, q, k, v, (), heads, block_b, interpret)
+    return out, (q, k, v)
+
+
+def _window_mhsa_bwd(heads, block_b, interpret, res, do):
+    q, k, v = res
+    dq, dk, dv = _call(_bwd_kernel, 3, q, k, v, (do,), heads, block_b, interpret)
+    return dq, dk, dv
+
+
+window_mhsa_packed.defvjp(_window_mhsa_fwd, _window_mhsa_bwd)
+
+
+# -- legacy head-split entry (kept for head_dim >= 128 shapes) ----------------
 
 def _win_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_real: int):
     q = q_ref[...].astype(jnp.float32)                 # (BB, Lp, D)
@@ -47,15 +176,8 @@ def _win_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_real: int):
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
 def window_attention_fused(q, k, v, block_b: int = 64, interpret: bool = False):
-    """softmax(q kᵀ/√D) v over a large batch of short sequences.
-
-    Args:
-        q, k, v: (BW, L, D) — BW independent windows, L tokens each
-            (L ≲ 128; the full (L, L) matrix is kept in VMEM).
-
-    Returns:
-        (BW, L, D) in q's dtype.
-    """
+    """Single-head form over (BW, L, D) — only sensible when D is lane-dense
+    (>= 128); head-split small-D shapes must use window_mhsa_packed."""
     BW, L, D = q.shape
     scale = D ** -0.5
     Lp = -(-L // 8) * 8                               # sublane-align tokens
@@ -88,7 +210,7 @@ def windowed_mhsa(q, k, v, interpret: bool = False):
     from yolo_sod_tpu.ops.pallas_attention import _tpu_backend
 
     BW, L, D = q.shape
-    if (_tpu_backend() or interpret) and BW >= 256 and L <= 128:
+    if (_tpu_backend() or interpret) and BW >= 256 and L <= 128 and D >= 128:
         return window_attention_fused(q, k, v, interpret=interpret)
     s = jnp.einsum("bqd,bkd->bqk", q, k,
                    preferred_element_type=jnp.float32).astype(q.dtype)
