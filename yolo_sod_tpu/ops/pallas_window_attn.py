@@ -29,17 +29,23 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _split_heads(t, heads: int):
-    BB, Lp, C = t.shape
-    return t.reshape(BB, Lp, heads, C // heads)
+# Mosaic's `tpu.matmul` supports at most ONE batch dimension, so the head
+# axis must NOT appear as a second dot_general batch dim (that lowering
+# verifies on CPU/interpret but fails on real TPU). Heads are a static,
+# tiny count (2-8 at the Swin sites) — unroll them in Python and slice the
+# lane dimension per head; every matmul then batches only over windows.
 
 
-def _probs(q, k, scale, l_real):
-    """(BB, H, Lp, Lp) softmax probabilities, f32, padded cols masked."""
+def _head(t, h: int, hd: int):
+    return jax.lax.slice_in_dim(t, h * hd, (h + 1) * hd, axis=2)
+
+
+def _probs1(qh, kh, scale, l_real):
+    """(BB, Lp, Lp) softmax probabilities for one head, padded cols masked."""
     s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
-        preferred_element_type=jnp.float32) * scale       # (BB, H, Lp, Lp)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale       # (BB, Lp, Lp)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < l_real, s, NEG_INF)
     m = s.max(axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -48,46 +54,48 @@ def _probs(q, k, scale, l_real):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float,
                 l_real: int):
-    q = _split_heads(q_ref[...].astype(jnp.float32), heads)   # (BB, Lp, H, hd)
-    k = _split_heads(k_ref[...].astype(jnp.float32), heads)
-    v = _split_heads(v_ref[...].astype(jnp.float32), heads)
-    p = _probs(q, k, scale, l_real)                           # (BB, H, Lp, Lp)
-    o = jax.lax.dot_general(                                  # (BB, H, Lp, hd)
-        p, v, dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))))
-    BB, H, Lp, hd = o.shape
-    o_ref[...] = o.transpose(0, 2, 1, 3).reshape(BB, Lp, H * hd).astype(o_ref.dtype)
+    q = q_ref[...].astype(jnp.float32)                    # (BB, Lp, C)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    hd = q.shape[2] // heads
+    outs = []
+    for h in range(heads):
+        p = _probs1(_head(q, h, hd), _head(k, h, hd), scale, l_real)
+        outs.append(jax.lax.dot_general(                  # (BB, Lp, hd)
+            p, _head(v, h, hd),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,)))))
+    o_ref[...] = jnp.concatenate(outs, axis=2).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                 heads: int, scale: float, l_real: int):
-    q = _split_heads(q_ref[...].astype(jnp.float32), heads)
-    k = _split_heads(k_ref[...].astype(jnp.float32), heads)
-    v = _split_heads(v_ref[...].astype(jnp.float32), heads)
-    do = _split_heads(do_ref[...].astype(jnp.float32), heads)  # (BB, Lp, H, hd)
-    p = _probs(q, k, scale, l_real)                            # (BB, H, Lp, Lp)
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)                  # (BB, Lp, C)
+    hd = q.shape[2] // heads
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        qh, kh, vh = (_head(t, h, hd) for t in (q, k, v))
+        doh = _head(do, h, hd)
+        p = _probs1(qh, kh, scale, l_real)                # (BB, Lp, Lp)
+        # dv[b,m,d] = sum_n p[b,n,m] do[b,n,d]
+        dvs.append(jax.lax.dot_general(
+            p, doh, dimension_numbers=(((1,), (1,)), ((0,), (0,)))))
+        # dp[b,n,m] = sum_d do[b,n,d] v[b,m,d]
+        dp = jax.lax.dot_general(
+            doh, vh, dimension_numbers=(((2,), (2,)), ((0,), (0,))))
+        ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
+        # dq[b,n,d] = scale * sum_m ds[b,n,m] k[b,m,d]
+        dqs.append(jax.lax.dot_general(
+            ds, kh, dimension_numbers=(((2,), (1,)), ((0,), (0,)))) * scale)
+        # dk[b,m,d] = scale * sum_n ds[b,n,m] q[b,n,d]
+        dks.append(jax.lax.dot_general(
+            ds, qh, dimension_numbers=(((1,), (1,)), ((0,), (0,)))) * scale)
 
-    # dv[b,h,m,d] = sum_n p[b,h,n,m] do[b,n,h,d]
-    dv = jax.lax.dot_general(
-        p, do, dimension_numbers=(((2,), (1,)), ((0, 1), (0, 2))))
-    # dp[b,h,n,m] = sum_d do[b,n,h,d] v[b,m,h,d]
-    dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))))
-    ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))       # (BB, H, Lp, Lp)
-    # dq[b,n,h,d] = scale * sum_m ds[b,h,n,m] k[b,m,h,d]
-    dq = jax.lax.dot_general(
-        ds, k, dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2)))) * scale
-    # dk[b,m,h,d] = scale * sum_n ds[b,h,n,m] q[b,n,h,d]
-    dk = jax.lax.dot_general(
-        ds, q, dimension_numbers=(((2,), (1,)), ((0, 1), (0, 2)))) * scale
-
-    BB, H, Lp, hd = dq.shape
-
-    def mix(t):
-        return t.transpose(0, 2, 1, 3).reshape(BB, Lp, H * hd)
-
-    dq_ref[...] = mix(dq).astype(dq_ref.dtype)
-    dk_ref[...] = mix(dk).astype(dk_ref.dtype)
-    dv_ref[...] = mix(dv).astype(dv_ref.dtype)
+    dq_ref[...] = jnp.concatenate(dqs, axis=2).astype(dq_ref.dtype)
+    dk_ref[...] = jnp.concatenate(dks, axis=2).astype(dk_ref.dtype)
+    dv_ref[...] = jnp.concatenate(dvs, axis=2).astype(dv_ref.dtype)
 
 
 def _pad_blocks(t, Lp: int, pb: int):
