@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import re
 from pathlib import Path
 from typing import Any, Optional, Tuple
@@ -301,6 +302,7 @@ class Network(nn.Module):
     """
 
     graph: ParsedGraph
+    act_int8_strides: tuple = ()   # opt-in: int8-quantize boundary activations
 
     @nn.compact
     def __call__(self, x, train: bool = False, active_mask=None):
@@ -321,9 +323,31 @@ class Network(nn.Module):
                     out = build_module(spec, f"model_{spec.i}_{r}")(out, train)
             else:
                 out = build_module(spec, f"model_{spec.i}")(inputs, train)
+            if (self.act_int8_strides and not train
+                    and spec.stride in self.act_int8_strides
+                    and isinstance(out, jax.Array) and out.ndim == 4):
+                out = _quant_dequant_int8(out)
             if spec.i in self.graph.save:
                 saved[spec.i] = out
         return out
+
+
+def _quant_dequant_int8(x):
+    """Symmetric per-tensor int8 round-trip on a boundary activation.
+
+    The model is HBM-bound (89% of the v5e roofline at bf16, PERF.md); the
+    big stride-4 P2 activation maps are where the bytes are, and the int8
+    boundary halves them: XLA fuses the quantize into the producer's epilogue
+    and the dequantize into each consumer, so the tensor that actually
+    crosses the HBM fusion boundary is the int8 one. Opt-in via
+    DetectionModel(..., act_int8_strides=(4,)) / YOLO_SOD_ACT_INT8=1 —
+    accuracy is guarded by tests/test_act_int8.py's loss-parity tolerance.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    q = q.astype(jnp.int8)
+    return (q.astype(jnp.float32) * scale).astype(x.dtype)
 
 
 MODEL_CFG_DIRS = (ROOT / "cfg" / "models", Path.cwd())
@@ -357,14 +381,18 @@ class DetectionModel:
     """
 
     def __init__(self, cfg="yolov12-sod-fusion-v5-simple.yaml", ch: int = 3,
-                 nc: Optional[int] = None, verbose: bool = False):
+                 nc: Optional[int] = None, verbose: bool = False,
+                 act_int8_strides: Optional[tuple] = None):
         self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
         if nc and nc != self.yaml.get("nc"):
             LOGGER.info(f"overriding model.yaml nc={self.yaml.get('nc')} with nc={nc}")
             self.yaml["nc"] = nc
         self.graph = parse_model(self.yaml, ch=ch, verbose=verbose)
         self.nc = self.graph.nc
-        self.net = Network(self.graph)
+        if act_int8_strides is None and os.environ.get("YOLO_SOD_ACT_INT8") == "1":
+            act_int8_strides = (4,)   # the P2 level: where the bytes are
+        self.net = Network(self.graph,
+                           act_int8_strides=tuple(act_int8_strides or ()))
         self.stride = np.array(self.graph.detect_strides or (8, 16, 32))
         self.names = {i: f"{i}" for i in range(self.nc)}
         self.ch = ch
