@@ -79,6 +79,29 @@ def test_parking_management():
     assert pm.pr_info == {"Occupancy": 1, "Available": 1}
 
 
+def test_parking_zone_editor_roundtrip(tmp_path):
+    """Headless annotator core: clicks -> zones -> rescaled JSON that
+    ParkingManagement can consume (reference parking_management.py:14)."""
+    from yolo_sod_tpu.solutions import ParkingManagement, ParkingZoneEditor
+
+    ed = ParkingZoneEditor(max_display=(640, 360))
+    w, h = ed.set_image_size(1280, 720)          # 2x downscale to display
+    assert (w, h) == (640, 360)
+    for pt in [(0, 40), (60, 40), (60, 100), (0, 100)]:
+        zone = ed.click(*pt)
+    assert zone is not None and len(ed.zones) == 1
+    ed.click(5, 5)                               # pending point...
+    assert ed.undo() and len(ed.zones) == 1      # ...undo clears pending
+    assert ed.to_json() == [{"points": [[0, 80], [120, 80], [120, 200],
+                                        [0, 200]]}]  # image-space (2x)
+    path = ed.save(str(tmp_path / "zones.json"))
+
+    pm = ParkingManagement(model=_FakeYOLO(), json_file=path)
+    pm.process_data(np.zeros((300, 600, 3), np.uint8))
+    assert pm.pr_info == {"Occupancy": 1, "Available": 0}
+    assert ed.undo() and not ed.zones and not ed.undo()
+
+
 def test_trackzone():
     from yolo_sod_tpu.solutions import TrackZone
 

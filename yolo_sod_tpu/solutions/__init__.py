@@ -6,6 +6,8 @@ from yolo_sod_tpu.solutions.solutions import (
     Heatmap,
     ObjectCounter,
     ParkingManagement,
+    ParkingPtsSelection,
+    ParkingZoneEditor,
     QueueManager,
     RegionCounter,
     SecurityAlarm,
@@ -16,5 +18,6 @@ from yolo_sod_tpu.solutions.solutions import (
 
 __all__ = ["BaseSolution", "ObjectCounter", "Heatmap", "SpeedEstimator",
            "RegionCounter", "QueueManager", "DistanceCalculation", "AIGym",
-           "Analytics", "ParkingManagement", "SecurityAlarm", "TrackZone",
+           "Analytics", "ParkingManagement", "ParkingPtsSelection",
+           "ParkingZoneEditor", "SecurityAlarm", "TrackZone",
            "streamlit_inference"]

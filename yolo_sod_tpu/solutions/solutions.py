@@ -362,6 +362,139 @@ class ParkingManagement(BaseSolution):
     __call__ = process_data
 
 
+class ParkingZoneEditor:
+    """Headless core of the parking-zone annotator (reference
+    solutions/parking_management.py:14 ParkingPtsSelection, re-structured):
+    all geometry/state logic — display scaling, click accumulation into
+    4-point zones, undo, canvas→image rescale, JSON round-trip — lives here
+    and is unit-testable without a display; ParkingPtsSelection is a thin
+    Tkinter binding over it."""
+
+    def __init__(self, max_display=(1280, 720)):
+        self.max_w, self.max_h = max_display
+        self.zones: list[list[tuple[int, int]]] = []
+        self.pending: list[tuple[int, int]] = []
+        self.imgw = self.imgh = 0
+        self.disp_w = self.disp_h = 0
+
+    def set_image_size(self, w: int, h: int) -> tuple[int, int]:
+        """Record the source size; return the fitted display size."""
+        self.imgw, self.imgh = w, h
+        scale = min(self.max_w / w, self.max_h / h, 1.0)
+        self.disp_w, self.disp_h = max(1, round(w * scale)), max(1, round(h * scale))
+        self.zones.clear()
+        self.pending.clear()
+        return self.disp_w, self.disp_h
+
+    def click(self, x: int, y: int) -> list[tuple[int, int]] | None:
+        """Add one display-space point; returns the zone when it closes."""
+        self.pending.append((x, y))
+        if len(self.pending) < 4:
+            return None
+        zone, self.pending = self.pending, []
+        self.zones.append(zone)
+        return zone
+
+    def undo(self) -> bool:
+        if self.pending:
+            self.pending.clear()
+            return True
+        if self.zones:
+            self.zones.pop()
+            return True
+        return False
+
+    def to_json(self) -> list[dict]:
+        """Zones rescaled from display to image coordinates, in the JSON
+        shape ParkingManagement consumes ([{"points": [[x, y] x4]}, ...])."""
+        sx = self.imgw / max(self.disp_w, 1)
+        sy = self.imgh / max(self.disp_h, 1)
+        return [{"points": [[round(x * sx), round(y * sy)] for x, y in z]}
+                for z in self.zones]
+
+    def save(self, path="bounding_boxes.json") -> str:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f, indent=4)
+        return path
+
+
+class ParkingPtsSelection:
+    """Tkinter UI over ParkingZoneEditor: upload an image, click 4-point
+    parking zones, undo, save JSON for ParkingManagement. Requires a
+    display + tkinter; everything testable lives in ParkingZoneEditor."""
+
+    def __init__(self):
+        try:
+            import tkinter as tk
+            from tkinter import filedialog, messagebox
+        except ImportError as e:  # pragma: no cover - headless images
+            raise ImportError(
+                "ParkingPtsSelection needs tkinter; use ParkingZoneEditor "
+                "programmatically on headless machines") from e
+        self.tk, self.filedialog, self.messagebox = tk, filedialog, messagebox
+        self.editor = ParkingZoneEditor()
+        self.master = tk.Tk()
+        self.master.title("yolo-sod-tpu parking zone selector")
+        self.canvas = tk.Canvas(self.master, bg="white")
+        self.canvas.pack(side=tk.BOTTOM)
+        bar = tk.Frame(self.master)
+        bar.pack(side=tk.TOP)
+        for text, cmd in (("Upload Image", self.upload_image),
+                          ("Remove Last BBox", self.remove_last),
+                          ("Save", self.save)):
+            tk.Button(bar, text=text, command=cmd).pack(side=tk.LEFT)
+        self.image = self.photo = None
+        self.master.mainloop()
+
+    def upload_image(self):
+        from PIL import Image, ImageTk
+
+        path = self.filedialog.askopenfilename(
+            filetypes=[("Image Files", "*.png *.jpg *.jpeg")])
+        if not path:
+            return
+        self.image = Image.open(path)
+        w, h = self.editor.set_image_size(*self.image.size)
+        self.canvas.config(width=w, height=h)
+        self.photo = ImageTk.PhotoImage(self.image.resize((w, h)))
+        self._redraw()
+        self.canvas.bind("<Button-1>", self._on_click)
+
+    def _on_click(self, event):
+        self.canvas.create_oval(event.x - 3, event.y - 3, event.x + 3,
+                                event.y + 3, fill="red")
+        zone = self.editor.click(event.x, event.y)
+        if zone:
+            self._draw_zone(zone)
+
+    def _draw_zone(self, zone):
+        for i in range(4):
+            self.canvas.create_line(zone[i], zone[(i + 1) % 4],
+                                    fill="blue", width=2)
+
+    def _redraw(self):
+        self.canvas.delete("all")
+        if self.photo:
+            self.canvas.create_image(0, 0, anchor=self.tk.NW, image=self.photo)
+        for zone in self.editor.zones:
+            self._draw_zone(zone)
+
+    def remove_last(self):
+        if not self.editor.undo():
+            self.messagebox.showwarning("Warning", "No zones to remove.")
+        self._redraw()
+
+    def save(self):
+        if not self.editor.imgw:
+            self.messagebox.showwarning("Warning", "Upload an image first.")
+            return
+        self.editor.save("bounding_boxes.json")
+        self.messagebox.showinfo("Success",
+                                 "Zones saved to bounding_boxes.json")
+
+
 class SecurityAlarm(BaseSolution):
     """Alert when the detection count crosses a threshold
     (reference solutions/security_alarm.py). Email delivery is an optional
