@@ -98,6 +98,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     dv_ref[...] = jnp.concatenate(dvs, axis=2).astype(dv_ref.dtype)
 
 
+def _auto_block(Lp: int, C: int, bytes_per_elem: int) -> int:
+    """Largest power-of-two window-batch block whose kernel working set fits
+    a conservative scoped-VMEM budget. `bytes_per_elem` is the per-(b,l,c)
+    footprint: ~28 B fwd (4 f32 input copies + f32 out concat + bf16 refs),
+    ~58 B bwd (adds the do copy + three f32 d{q,k,v} accumulators + refs) —
+    at C=256 a fixed block of 32 put the bwd at 19.6 MB against the 16 MB
+    scoped limit (compile-time VMEM OOM on v5e)."""
+    budget = 10 * 1024 * 1024
+    bb = budget // max(Lp * C * bytes_per_elem, 1)
+    p = 8
+    while p * 2 <= min(bb, 128):
+        p *= 2
+    return p
+
+
 def _pad_blocks(t, Lp: int, pb: int):
     L = t.shape[1]
     if Lp != L:
@@ -108,7 +123,7 @@ def _pad_blocks(t, Lp: int, pb: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def window_mhsa_packed(q, k, v, heads: int, block_b: int = 32,
+def window_mhsa_packed(q, k, v, heads: int, block_b: int | None = None,
                        interpret: bool = False):
     """Per-window multi-head softmax(q kᵀ/√hd) v with heads packed in lanes.
 
@@ -127,6 +142,8 @@ def _call(kernel, n_out, q, k, v, extra, heads, block_b, interpret):
     BW, L, C = q.shape
     scale = (C // heads) ** -0.5
     Lp = -(-L // 8) * 8
+    if block_b is None:
+        block_b = _auto_block(Lp, C, 58 if n_out > 1 else 28)
     pb = (-BW) % block_b
     ins = [_pad_blocks(t, Lp, pb) for t in (q, k, v, *extra)]
     BWp = BW + pb
