@@ -102,9 +102,14 @@ class DetectionValidator:
         conf = args.conf if args.conf not in (None, 0) else 0.001
         if backend is not None:
             fn = lambda v, x: backend.forward(np.asarray(x))  # noqa: E731
+            dev_variables = variables
         else:
             fn = self._build_fn(model, conf, args.iou, args.max_det)
-        dev_variables = variables
+            # Push the weights to the device ONCE. Passing host arrays into
+            # the jitted fn re-transfers all ~27 MB of bf16 params per batch
+            # (measured 114 ms/img over the axon tunnel vs 1.6 ms/img of
+            # actual compute).
+            dev_variables = jax.device_put(variables)
 
         metrics = DetMetrics(names=names)
         confusion = ConfusionMatrix(nc=nc, conf=conf)
@@ -114,6 +119,23 @@ class DetectionValidator:
         B = self.dataloader.batch_size
 
         t_inf = t_post = 0.0
+        # One-batch-deep software pipeline: JAX dispatch is async, so issuing
+        # batch i+1 before fetching batch i overlaps device compute with the
+        # host-side fetch + metric matching of the previous batch.
+        pending = None   # (det_dev, n_dev, batch, nb, h_im, w_im)
+
+        def drain(entry):
+            nonlocal t_inf, t_post
+            det_dev, n_dev, batch, nb, h_im, w_im = entry
+            t0 = time.perf_counter()
+            det = np.asarray(jax.device_get(det_dev))
+            n_valid = np.asarray(jax.device_get(n_dev))
+            t_inf += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            self._accumulate(det, n_valid, batch, nb, h_im, w_im, stats,
+                             confusion, args)
+            t_post += time.perf_counter() - t0
+
         for batch in self.dataloader:
             img = batch["img"]
             nb = img.shape[0]
@@ -121,40 +143,16 @@ class DetectionValidator:
                 pad = np.repeat(img[-1:], B - nb, axis=0)
                 img = np.concatenate([img, pad], axis=0)
             h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
+            n_images += nb
             t0 = time.perf_counter()
-            det, n_valid = fn(dev_variables, jnp.asarray(img))
-            det = np.asarray(jax.device_get(det))
-            n_valid = np.asarray(jax.device_get(n_valid))
+            det_dev, n_dev = fn(dev_variables, jnp.asarray(img))
             t_inf += time.perf_counter() - t0
-
-            t0 = time.perf_counter()
-            for bi in range(nb):
-                n_images += 1
-                d = det[bi][: n_valid[bi]]
-                # GT in letterboxed pixels.
-                m = batch["mask_gt"][bi] > 0
-                gt_cls = batch["cls"][bi][m]
-                gt_xywhn = np.concatenate([gt_cls[:, None], batch["bboxes"][bi][m]], axis=1)
-                gt_xyxy = xywhn2xyxy(gt_xywhn, w_im, h_im)[:, 1:]
-                stats["target_cls"].append(gt_cls)
-                if len(d) == 0:
-                    if len(gt_cls):
-                        stats["tp"].append(np.zeros((0, 10), bool))
-                        stats["conf"].append(np.zeros(0))
-                        stats["pred_cls"].append(np.zeros(0))
-                        confusion.process_batch(None, gt_xyxy, gt_cls)
-                    continue
-                if getattr(args, "save_json", False):
-                    self.pred_to_json(d, batch["im_file"][bi],
-                                      batch["ratio_pad"][bi], batch["ori_shape"][bi])
-                iou = box_iou(gt_xyxy, d[:, :4])
-                tp = match_predictions(d[:, 5], gt_cls, iou)
-                stats["tp"].append(tp)
-                stats["conf"].append(d[:, 4])
-                stats["pred_cls"].append(d[:, 5])
-                if args.plots:
-                    confusion.process_batch(d, gt_xyxy, gt_cls)
-            t_post += time.perf_counter() - t0
+            entry = (det_dev, n_dev, batch, nb, h_im, w_im)
+            if pending is not None:
+                drain(pending)
+            pending = entry
+        if pending is not None:
+            drain(pending)
 
         if stats["tp"]:
             tp = np.concatenate(stats["tp"], 0)
@@ -181,6 +179,36 @@ class DetectionValidator:
         if getattr(args, "save_json", False) and self.jdict:
             self.save_json_file()
         return metrics
+
+    def _accumulate(self, det, n_valid, batch, nb, h_im, w_im, stats,
+                    confusion, args):
+        """Per-image host-side TP matching for one fetched batch
+        (reference detect/val.py:125-173 update_metrics)."""
+        for bi in range(nb):
+            d = det[bi][: n_valid[bi]]
+            # GT in letterboxed pixels.
+            m = batch["mask_gt"][bi] > 0
+            gt_cls = batch["cls"][bi][m]
+            gt_xywhn = np.concatenate([gt_cls[:, None], batch["bboxes"][bi][m]], axis=1)
+            gt_xyxy = xywhn2xyxy(gt_xywhn, w_im, h_im)[:, 1:]
+            stats["target_cls"].append(gt_cls)
+            if len(d) == 0:
+                if len(gt_cls):
+                    stats["tp"].append(np.zeros((0, 10), bool))
+                    stats["conf"].append(np.zeros(0))
+                    stats["pred_cls"].append(np.zeros(0))
+                    confusion.process_batch(None, gt_xyxy, gt_cls)
+                continue
+            if getattr(args, "save_json", False):
+                self.pred_to_json(d, batch["im_file"][bi],
+                                  batch["ratio_pad"][bi], batch["ori_shape"][bi])
+            iou = box_iou(gt_xyxy, d[:, :4])
+            tp = match_predictions(d[:, 5], gt_cls, iou)
+            stats["tp"].append(tp)
+            stats["conf"].append(d[:, 4])
+            stats["pred_cls"].append(d[:, 5])
+            if args.plots:
+                confusion.process_batch(d, gt_xyxy, gt_cls)
 
     # -- COCO json ------------------------------------------------------------
     def pred_to_json(self, det: np.ndarray, im_file: str, ratio_pad, ori_shape):

@@ -98,19 +98,17 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     dv_ref[...] = jnp.concatenate(dvs, axis=2).astype(dv_ref.dtype)
 
 
-def _auto_block(Lp: int, C: int, bytes_per_elem: int) -> int:
-    """Largest power-of-two window-batch block whose kernel working set fits
-    a conservative scoped-VMEM budget. `bytes_per_elem` is the per-(b,l,c)
-    footprint: ~28 B fwd (4 f32 input copies + f32 out concat + bf16 refs),
-    ~58 B bwd (adds the do copy + three f32 d{q,k,v} accumulators + refs) —
-    at C=256 a fixed block of 32 put the bwd at 19.6 MB against the 16 MB
-    scoped limit (compile-time VMEM OOM on v5e)."""
-    budget = 10 * 1024 * 1024
-    bb = budget // max(Lp * C * bytes_per_elem, 1)
-    p = 8
-    while p * 2 <= min(bb, 128):
-        p *= 2
-    return p
+def _auto_block(C: int, bwd: bool) -> int:
+    """Window-batch block size that keeps the kernel's scoped-VMEM stack
+    under the 16 MB v5e limit. Calibrated from observed compile-time OOMs
+    (Mosaic's stack holds f32 copies of the packed tiles PLUS per-head lane
+    slices that pad hd -> 128, so the footprint is much larger than the
+    nominal tile bytes): fwd C=64 at block 64 hit 16.6 MB (~72 B per
+    packed element); bwd C=256 at block 32 hit 19.6 MB (~43 B/elem).
+    Blocks below keep a >=2.5x margin at every gated shape (C <= 256)."""
+    if bwd:
+        return 8
+    return 16 if C <= 128 else 8
 
 
 def _pad_blocks(t, Lp: int, pb: int):
@@ -143,7 +141,7 @@ def _call(kernel, n_out, q, k, v, extra, heads, block_b, interpret):
     scale = (C // heads) ** -0.5
     Lp = -(-L // 8) * 8
     if block_b is None:
-        block_b = _auto_block(Lp, C, 58 if n_out > 1 else 28)
+        block_b = _auto_block(C, bwd=n_out > 1)
     pb = (-BW) % block_b
     ins = [_pad_blocks(t, Lp, pb) for t in (q, k, v, *extra)]
     BWp = BW + pb
