@@ -211,3 +211,26 @@ class TestClusterNMS:
         np.testing.assert_array_equal(np.asarray(n_c), np.asarray(n_s))
         np.testing.assert_allclose(np.asarray(det_c), np.asarray(det_s),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_image_to_compute_matches_host_normalize():
+    """uint8 on-device normalize matches the old host-side f32 /255 path to
+    1 ulp (XLA lowers the constant divide to a reciprocal multiply), for
+    both f32 and bf16 compute dtypes."""
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.ops.numerics import image_to_compute
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 8, 8, 3), np.uint8)
+    host = u8.astype(np.float32) / 255.0
+    for dtype, rtol in ((jnp.float32, 2e-7), (jnp.bfloat16, 2 ** -7)):
+        dev = jax.jit(lambda x: image_to_compute(x, dtype))(jnp.asarray(u8))
+        ref = jnp.asarray(host).astype(dtype)
+        assert dev.dtype == dtype
+        np.testing.assert_allclose(np.asarray(dev.astype(jnp.float32)),
+                                   np.asarray(ref.astype(jnp.float32)),
+                                   rtol=rtol)
+    # float input passes through with a cast only
+    f = jax.jit(lambda x: image_to_compute(x, jnp.float32))(jnp.asarray(host))
+    np.testing.assert_array_equal(np.asarray(f), host)

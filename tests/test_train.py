@@ -71,8 +71,9 @@ def test_dataset_and_loader(dataset_yaml):
     dl = build_dataloader(ds, batch=4, shuffle=True)
     batch = next(iter(dl))
     assert batch["img"].shape == (4, 64, 64, 3)
-    assert batch["img"].dtype == np.float32
-    assert 0.0 <= batch["img"].min() and batch["img"].max() <= 1.0
+    # uint8 transfer contract: normalized to [0,1] on-device
+    # (ops/numerics.image_to_compute), 4x fewer host->device bytes.
+    assert batch["img"].dtype == np.uint8
     M = dl.max_boxes
     assert batch["cls"].shape == (4, M)
     assert batch["bboxes"].shape == (4, M, 4)

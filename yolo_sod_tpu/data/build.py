@@ -2,9 +2,9 @@
 
 Replaces the reference's InfiniteDataLoader (contract: SURVEY.md §1.1 —
 iterate forever, reset() after mutating the dataset, e.g. mosaic close at
-trainer.py:355-357). Collation is TPU-shaped: NHWC float32 images in [0,1]
-and labels padded to a STATIC per-dataset M so the jitted train step never
-retraces on a ragged batch.
+trainer.py:355-357). Collation is TPU-shaped: NHWC uint8 RGB images
+(normalized on-device, see collate) and labels padded to a STATIC
+per-dataset M so the jitted train step never retraces on a ragged batch.
 """
 
 from __future__ import annotations
@@ -21,14 +21,21 @@ from yolo_sod_tpu.data.dataset import YOLODataset
 def collate(items: list[dict], max_boxes: int) -> dict:
     """Stack per-item dicts into the training batch contract.
 
-    Returns {"img" (B,H,W,3) float32 RGB in [0,1], "cls" (B,M), "bboxes"
+    Returns {"img" (B,H,W,3) uint8 RGB, "cls" (B,M), "bboxes"
     (B,M,4) normalized xywh, "mask_gt" (B,M), "batch_idx" flat GT ownership,
     "im_file", "ori_shape", "ratio_pad"}.
+
+    Images stay uint8 here — 4x fewer host->device bytes than f32 — and are
+    normalized to [0,1] on-device inside each consumer's jitted graph
+    (ops/numerics.image_to_compute), matching the reference's uint8 transfer
+    + on-device `.float() / 255` (reference engine/trainer.py
+    preprocess_batch). Measured on the axon tunnel: the f32 contract made
+    the validator upload-bound at 7 img/s.
     """
     B = len(items)
     M = max_boxes
-    img = np.stack([it["img"] for it in items]).astype(np.float32)
-    img = img[..., ::-1] / 255.0                       # BGR -> RGB, [0,1], NHWC
+    img = np.stack([it["img"] for it in items])
+    img = np.ascontiguousarray(img[..., ::-1])         # BGR -> RGB uint8 NHWC
     cls = np.zeros((B, M), np.float32)
     bboxes = np.zeros((B, M, 4), np.float32)
     mask = np.zeros((B, M), np.float32)
@@ -63,7 +70,7 @@ def collate(items: list[dict], max_boxes: int) -> dict:
             na = min(len(it["angles"]), M)
             angles[b, :na] = it["angles"][:na]
     return {
-        "img": np.ascontiguousarray(img),
+        "img": img,
         "cls": cls,
         "bboxes": bboxes,
         "mask_gt": mask,

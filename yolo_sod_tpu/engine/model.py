@@ -132,6 +132,12 @@ class Model:
         args = {**self.overrides, **kwargs, "mode": "train"}
         self.trainer = trainer_cls(overrides=args, model=self.model)
         self.trainer.train()
+        # The trainer may rebuild the head for the dataset's nc
+        # (trainer.py:151-153); adopt its model so later val()/predict()
+        # run the trained architecture (reference model.py train() does
+        # the same: self.model = self.trainer.model).
+        if getattr(self.trainer, "model", None) is not None:
+            self.model = self.trainer.model
         best = getattr(self.trainer, "best_variables", None)
         if best:
             self.model.variables = best

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from yolo_sod_tpu.ops.numerics import image_to_compute
 from yolo_sod_tpu.engine.trainer import DetectionTrainer
 from yolo_sod_tpu.engine.train_step import TrainState
 from yolo_sod_tpu.models.utils.loss import HungarianMatcher
@@ -63,7 +64,7 @@ class RTDETRTrainer(DetectionTrainer):
         @jax.jit
         def preview(params, batch_stats, img):
             out = model.net.apply({"params": params, "batch_stats": batch_stats},
-                                  img.astype(compute_dtype), train=True,
+                                  image_to_compute(img, compute_dtype), train=True,
                                   mutable=["batch_stats"])[0]
             pred_b = jnp.concatenate(
                 [out["dec_bboxes"], out["enc_bboxes"][None]], 0)
@@ -74,7 +75,7 @@ class RTDETRTrainer(DetectionTrainer):
         def loss_fn(params, batch_stats, img, tgt_cls, tgt_box, tgt_mask, n_gt):
             out, mutated = model.net.apply(
                 {"params": params, "batch_stats": batch_stats},
-                img.astype(compute_dtype), train=True, mutable=["batch_stats"])
+                image_to_compute(img, compute_dtype), train=True, mutable=["batch_stats"])
             pred_b = jnp.concatenate(
                 [out["dec_bboxes"], out["enc_bboxes"][None]], 0).astype(jnp.float32)
             pred_s = jnp.concatenate(

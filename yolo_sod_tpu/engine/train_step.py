@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from yolo_sod_tpu.ops.numerics import image_to_compute
 from yolo_sod_tpu.utils.ema import ema_init, ema_update
 
 
@@ -152,7 +153,8 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     """Build the jitted (state, batch) -> (state, loss_items) step.
 
     Batch layout (dict of arrays, leading dim = global batch):
-        img (B, H, W, 3) float32 in [0,1] — cast to compute_dtype inside;
+        img (B, H, W, 3) uint8 RGB (or float in [0,1]) — normalized to
+        compute_dtype inside the graph (ops/numerics.image_to_compute);
         cls (B, M), bboxes (B, M, 4), mask_gt (B, M).
 
     With a mesh, the batch shards over the 'data' axis and params replicate;
@@ -163,7 +165,7 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     """
 
     def loss_fn(params, batch_stats, batch):
-        x = batch["img"].astype(compute_dtype)
+        x = image_to_compute(batch["img"], compute_dtype)
         # Mixed precision, master-weights pattern: the forward consumes a
         # compute_dtype copy of the params (otherwise f32 params promote
         # every conv back to f32, silently running the whole step in f32);

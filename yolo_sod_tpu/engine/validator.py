@@ -22,6 +22,7 @@ from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
 from yolo_sod_tpu.data import build_dataloader, build_yolo_dataset, check_det_dataset
 from yolo_sod_tpu.data.augment import xywhn2xyxy
 from yolo_sod_tpu.ops.nms import non_max_suppression
+from yolo_sod_tpu.ops.numerics import image_to_compute
 from yolo_sod_tpu.utils import LOGGER, colorstr
 from yolo_sod_tpu.utils.metrics import ConfusionMatrix, DetMetrics, box_iou, match_predictions
 
@@ -56,8 +57,8 @@ class DetectionValidator:
 
             @jax.jit
             def fn(variables, x):
-                preds = model.predict(variables, x.astype(jnp.bfloat16)
-                                      if half else x)
+                preds = model.predict(variables, image_to_compute(
+                    x, jnp.bfloat16 if half else jnp.float32))
                 return non_max_suppression(preds, conf_thres=conf, iou_thres=iou,
                                            multi_label=True, max_det=max_det)
             self._jit_fn = fn

@@ -18,6 +18,7 @@ from yolo_sod_tpu.data.augment import xywhn2xyxy
 from yolo_sod_tpu.engine.validator import DetectionValidator
 from yolo_sod_tpu.ops.decode import decode_detections
 from yolo_sod_tpu.ops.nms import non_max_suppression
+from yolo_sod_tpu.ops.numerics import image_to_compute
 from yolo_sod_tpu.utils import LOGGER, colorstr
 from yolo_sod_tpu.utils.metrics import (DetMetrics, Metric, ap_per_class, box_iou,
                                         match_predictions)
@@ -30,6 +31,38 @@ def mask_iou(pred: np.ndarray, gt: np.ndarray, eps: float = 1e-7) -> np.ndarray:
     inter = g @ p.T
     union = g.sum(1)[:, None] + p.sum(1)[None] - inter
     return inter / (union + eps)
+
+
+def pipelined_batches(dataloader, dispatch):
+    """One-batch-deep async val pipeline (engine/validator.py doctrine).
+
+    Dispatches batch i+1 before fetching batch i's outputs, so device
+    compute and the host->device image upload overlap the host-side metric
+    matching of the previous batch. Yields
+    (fetched_outputs_tuple, batch, nb, h_im, w_im); the final partial batch
+    is padded to the compiled bucket shape instead of retracing.
+    """
+    B = dataloader.batch_size
+    pending = None
+
+    def fetch(entry):
+        outs, batch, nb, h_im, w_im = entry
+        return tuple(np.asarray(jax.device_get(o)) for o in outs), \
+            batch, nb, h_im, w_im
+
+    for batch in dataloader:
+        img = batch["img"]
+        nb = img.shape[0]
+        if nb < B:
+            img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
+        h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
+        outs = dispatch(jnp.asarray(img))
+        entry = (outs, batch, nb, h_im, w_im)
+        if pending is not None:
+            yield fetch(pending)
+        pending = entry
+    if pending is not None:
+        yield fetch(pending)
 
 
 class SegmentMetrics(DetMetrics):
@@ -62,7 +95,7 @@ class SegmentationValidator(DetectionValidator):
 
             @jax.jit
             def fn(variables, x):
-                x = x.astype(jnp.bfloat16 if half else jnp.float32)
+                x = image_to_compute(x, jnp.bfloat16 if half else jnp.float32)
                 det_maps, coeff_maps, protos = model.net.apply(variables, x,
                                                                train=False)
                 preds = decode_detections(det_maps, model.graph.detect_strides,
@@ -86,6 +119,9 @@ class SegmentationValidator(DetectionValidator):
     def __call__(self, model=None, variables=None, data=None):
         args = self.args
         variables = variables if variables is not None else model.variables
+        # Push weights to the device ONCE; host arrays passed into the
+        # jitted fn re-transfer every batch (engine/validator.py note).
+        variables = jax.device_put(variables)
         if data is None:
             data = check_det_dataset(args.data)
         names = data.get("names", {})
@@ -102,18 +138,9 @@ class SegmentationValidator(DetectionValidator):
 
         metrics = SegmentMetrics(names=names)
         stats = {"tp": [], "tp_m": [], "conf": [], "pred_cls": [], "target_cls": []}
-        B = self.dataloader.batch_size
         n_images = 0
-        for batch in self.dataloader:
-            img = batch["img"]
-            nb = img.shape[0]
-            if nb < B:
-                img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
-            h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
-            det, n_valid, masks = fn(variables, jnp.asarray(img))
-            det = np.asarray(jax.device_get(det))
-            n_valid = np.asarray(jax.device_get(n_valid))
-            masks = np.asarray(jax.device_get(masks))
+        for (det, n_valid, masks), batch, nb, h_im, w_im in pipelined_batches(
+                self.dataloader, lambda x: fn(variables, x)):
             for bi in range(nb):
                 n_images += 1
                 d = det[bi][: n_valid[bi]]
@@ -199,7 +226,7 @@ class PoseValidator(DetectionValidator):
             def fn(variables, x):
                 from yolo_sod_tpu.ops.boxes import make_anchors
 
-                x = x.astype(jnp.bfloat16 if half else jnp.float32)
+                x = image_to_compute(x, jnp.bfloat16 if half else jnp.float32)
                 det_maps, kpt_maps = model.net.apply(variables, x, train=False)
                 preds = decode_detections(det_maps, model.graph.detect_strides,
                                           model.nc)
@@ -226,6 +253,9 @@ class PoseValidator(DetectionValidator):
     def __call__(self, model=None, variables=None, data=None):
         args = self.args
         variables = variables if variables is not None else model.variables
+        # Push weights to the device ONCE; host arrays passed into the
+        # jitted fn re-transfer every batch (engine/validator.py note).
+        variables = jax.device_put(variables)
         if data is None:
             data = check_det_dataset(args.data)
         names = data.get("names", {})
@@ -242,18 +272,9 @@ class PoseValidator(DetectionValidator):
 
         metrics = PoseMetrics(names=names)
         stats = {"tp": [], "tp_p": [], "conf": [], "pred_cls": [], "target_cls": []}
-        B = self.dataloader.batch_size
         n_images = 0
-        for batch in self.dataloader:
-            img = batch["img"]
-            nb = img.shape[0]
-            if nb < B:
-                img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
-            h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
-            det, n_valid, kpts = fn(variables, jnp.asarray(img))
-            det = np.asarray(jax.device_get(det))
-            n_valid = np.asarray(jax.device_get(n_valid))
-            kpts = np.asarray(jax.device_get(kpts))
+        for (det, n_valid, kpts), batch, nb, h_im, w_im in pipelined_batches(
+                self.dataloader, lambda x: fn(variables, x)):
             for bi in range(nb):
                 n_images += 1
                 d = det[bi][: n_valid[bi]]
@@ -303,7 +324,7 @@ class OBBValidator(DetectionValidator):
 
             @jax.jit
             def fn(variables, x):
-                x = x.astype(jnp.bfloat16 if half else jnp.float32)
+                x = image_to_compute(x, jnp.bfloat16 if half else jnp.float32)
                 det_maps, angle_maps = model.net.apply(variables, x, train=False)
                 preds = decode_detections(det_maps, model.graph.detect_strides,
                                           model.nc)
@@ -326,6 +347,9 @@ class OBBValidator(DetectionValidator):
 
         args = self.args
         variables = variables if variables is not None else model.variables
+        # Push weights to the device ONCE; host arrays passed into the
+        # jitted fn re-transfer every batch (engine/validator.py note).
+        variables = jax.device_put(variables)
         if data is None:
             data = check_det_dataset(args.data)
         names = data.get("names", {})
@@ -342,19 +366,9 @@ class OBBValidator(DetectionValidator):
 
         metrics = DetMetrics(names=names)
         stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
-        B = self.dataloader.batch_size
         n_images = 0
-        for batch in self.dataloader:
-            img = batch["img"]
-            nb = img.shape[0]
-            if nb < B:
-                img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
-            h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
-            det, n_valid, xywh, ang = fn(variables, jnp.asarray(img))
-            det = np.asarray(jax.device_get(det))
-            n_valid = np.asarray(jax.device_get(n_valid))
-            xywh = np.asarray(jax.device_get(xywh))
-            ang = np.asarray(jax.device_get(ang))
+        for (det, n_valid, xywh, ang), batch, nb, h_im, w_im in pipelined_batches(
+                self.dataloader, lambda x: fn(variables, x)):
             for bi in range(nb):
                 n_images += 1
                 nv = n_valid[bi]

@@ -86,3 +86,21 @@ def stable_softmax_lowp(logits, axis: int = -1):
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=axis, keepdims=True, dtype=jnp.float32)
     return p / s.astype(logits.dtype)
+
+
+def image_to_compute(x, dtype=jnp.bfloat16):
+    """Normalize a batch image tensor to `dtype` in [0, 1] inside the graph.
+
+    The batch contract ships images as uint8 RGB (data/build.py collate):
+    4x fewer host->device bytes than f32, the same doctrine as the
+    reference's uint8 transfer + on-device `.float() / 255`
+    (reference engine/trainer.py preprocess_batch). The divide runs in f32
+    before the downcast, matching the old host-side f32 normalize to
+    within 1 ulp (XLA lowers the constant divide to a reciprocal
+    multiply); XLA fuses the convert chain into the first conv's fusion,
+    so no extra HBM tensor is materialized. Float inputs (synthetic
+    tests, pre-normalized arrays) pass through with a cast only.
+    """
+    if x.dtype == jnp.uint8:
+        return (x.astype(jnp.float32) / 255.0).astype(dtype)
+    return x.astype(dtype)

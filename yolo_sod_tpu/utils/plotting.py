@@ -28,7 +28,9 @@ def plot_images(batch: dict, fname="train_batch.jpg", max_images: int = 16,
     canvas = np.full((rows * h, cols * w, 3), 255, np.uint8)
     for i in range(B):
         r, c = divmod(i, cols)
-        im = (imgs[i, ..., ::-1] * 255).astype(np.uint8)  # RGB->BGR
+        im = imgs[i, ..., ::-1]                           # RGB->BGR
+        if im.dtype != np.uint8:                          # float [0,1] batches
+            im = (im * 255).astype(np.uint8)
         im = np.ascontiguousarray(im)
         m = batch["mask_gt"][i] > 0
         for cls, (cx, cy, bw, bh) in zip(batch["cls"][i][m], batch["bboxes"][i][m]):
