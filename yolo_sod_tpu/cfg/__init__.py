@@ -37,7 +37,8 @@ CFG_FRACTION_KEYS = frozenset({"dropout", "lrf", "momentum", "weight_decay", "wa
                                "perspective", "flipud", "fliplr", "bgr", "mosaic", "mixup",
                                "copy_paste", "conf", "iou", "fraction", "erasing", "crop_fraction", "lr0"})
 CFG_INT_KEYS = frozenset({"epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio",
-                          "max_det", "vid_stride", "line_width", "nbs", "save_period"})
+                          "max_det", "vid_stride", "line_width", "nbs", "save_period",
+                          "spatial"})
 CFG_BOOL_KEYS = frozenset({"save", "exist_ok", "verbose", "deterministic", "single_cls", "rect",
                            "cos_lr", "overlap_mask", "val", "save_json", "save_hybrid", "half",
                            "dnn", "plots", "show", "save_txt", "save_conf", "save_crop",

@@ -38,7 +38,7 @@ from yolo_sod_tpu.engine.train_step import (
     set_hyperparams,
     shard_state,
 )
-from yolo_sod_tpu.parallel.mesh import build_mesh, shard_batch
+from yolo_sod_tpu.parallel.mesh import build_mesh, shard_batch, shard_batch_sp
 from yolo_sod_tpu.utils import LOGGER, TQDM, colorstr
 from yolo_sod_tpu.utils.callbacks import add_integration_callbacks, get_default_callbacks
 from yolo_sod_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -209,12 +209,30 @@ class DetectionTrainer:
             self.lf = lambda e: max(1 - e / args.epochs, 0) * (1.0 - lrf) + lrf
 
         # Mesh: data-parallel over all local devices that divide the batch.
+        # args.spatial > 1 adds a 'spatial' axis sharding image HEIGHT across
+        # chips (parallel/mesh.py shard_batch_sp) — per-device activation
+        # memory scales 1/spatial, the lever for 1280²+ SOD inputs; GSPMD
+        # inserts the conv halo exchanges.
+        n_sp = int(getattr(args, "spatial", 1) or 1)
         n_dev = len(jax.devices())
-        while n_dev > 1 and args.batch % n_dev:
-            n_dev -= 1
-        self.mesh = build_mesh(devices=jax.devices()[:n_dev]) if n_dev > 1 else None
-        if self.mesh is not None:
-            LOGGER.info(f"{colorstr('mesh:')} data-parallel over {n_dev} devices")
+        if n_sp > 1:
+            if n_dev % n_sp:
+                raise ValueError(f"spatial={n_sp} must divide the "
+                                 f"{n_dev} available devices")
+            n_dp = n_dev // n_sp
+            while n_dp > 1 and args.batch % n_dp:
+                n_dp -= 1
+            self.mesh = build_mesh(shape=(n_dp, n_sp),
+                                   axes=("data", "spatial"),
+                                   devices=jax.devices()[: n_dp * n_sp])
+            LOGGER.info(f"{colorstr('mesh:')} {n_dp}-way data x "
+                        f"{n_sp}-way spatial over {n_dp * n_sp} devices")
+        else:
+            while n_dev > 1 and args.batch % n_dev:
+                n_dev -= 1
+            self.mesh = build_mesh(devices=jax.devices()[:n_dev]) if n_dev > 1 else None
+            if self.mesh is not None:
+                LOGGER.info(f"{colorstr('mesh:')} data-parallel over {n_dev} devices")
 
         # Criterion + step.
         self.criterion = self.build_criterion(nc)
@@ -334,7 +352,10 @@ class DetectionTrainer:
                              for k in ("img", "cls", "bboxes", "mask_gt",
                                        *self.batch_extra_keys) if k in batch}
                 if self.mesh is not None:
-                    dev_batch = shard_batch(dev_batch, self.mesh)
+                    if "spatial" in self.mesh.axis_names:
+                        dev_batch = shard_batch_sp(dev_batch, self.mesh)
+                    else:
+                        dev_batch = shard_batch(dev_batch, self.mesh)
                 self.state, out = self.train_step(self.state, dev_batch)
                 # Keep the dispatch queue full: loss items stay on device and
                 # only sync to the host every few steps / at epoch end.

@@ -8,8 +8,15 @@ emitted by the compiler — there is no explicit collective code, no loss *=
 world_size correction (trainer.py:382), no rank-0 gating: jit handles it.
 
 Axis conventions (extension points, all optional beyond 'data'):
-    data  — batch dimension (DP)
-    model — channel/tensor dimension (TP, unused by default)
+    data    — batch dimension (DP)
+    model   — channel/tensor dimension (TP, unused by default)
+    spatial — image-height dimension (SP): shards every (B, H, W, C)
+              activation over H, so per-device activation memory scales
+              1/n_sp — the TPU recipe for high-resolution SOD inputs
+              (1280²+) whose P2-level maps would not fit one chip's HBM.
+              GSPMD inserts the conv halo exchanges (collective-permutes
+              of the kernel-overlap rows) automatically; no manual halo
+              code.
 """
 
 from __future__ import annotations
@@ -73,3 +80,30 @@ def shard_params_tp(params, mesh: Mesh, axis: str = "model",
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(
             x, tp_param_sharding(mesh, x, axis, min_features)), params)
+
+
+def shard_batch_sp(batch, mesh: Mesh, data_axis: str = "data",
+                   spatial_axis: str = "spatial"):
+    """Device-put a batch with images sharded over batch AND height.
+
+    `img` (B, H, W, C) gets PartitionSpec(data, spatial) — each device holds
+    a horizontal band of its batch shard; per-image label tensors shard over
+    the batch axis only; everything else replicates. Downstream, GSPMD
+    propagates: convs exchange kernel-overlap halo rows over ICI, the
+    flatten+concat before the criterion re-gathers the spatial axis. The
+    train step itself is unchanged (engine/train_step.py is sharding-
+    agnostic by construction).
+    """
+    sp = NamedSharding(mesh, P(data_axis, spatial_axis))
+    dp = NamedSharding(mesh, P(data_axis))
+    rep = NamedSharding(mesh, P())
+    B = batch["img"].shape[0]
+
+    def place(k, v):
+        if k == "img" and getattr(v, "ndim", 0) == 4:
+            return jax.device_put(v, sp)
+        if getattr(v, "ndim", 0) >= 1 and v.shape[0] == B:
+            return jax.device_put(v, dp)
+        return jax.device_put(v, rep)
+
+    return {k: place(k, v) for k, v in batch.items()}
