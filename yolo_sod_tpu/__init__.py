@@ -19,4 +19,13 @@ __version__ = "0.1.0"
 
 from yolo_sod_tpu.engine.model import YOLO, Model
 
-__all__ = ["YOLO", "Model", "__version__"]
+__all__ = ["YOLO", "Model", "YOLOWorld", "FastSAM", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy family facades (reference `from ultralytics import YOLOWorld, FastSAM`).
+    if name in ("YOLOWorld", "FastSAM"):
+        from yolo_sod_tpu import models
+
+        return getattr(models, name)
+    raise AttributeError(f"module 'yolo_sod_tpu' has no attribute {name!r}")

@@ -174,8 +174,19 @@ class Results:
         return len(self.boxes)
 
     def __getitem__(self, idx):
+        """Index/filter detections; every per-detection component (boxes,
+        masks, keypoints, obb) is carried through (reference Results.__getitem__
+        → _apply)."""
         r = Results(self.orig_img, self.path, self.names, speed=self.speed)
         r.boxes = self.boxes[idx]
+        if self.masks is not None:
+            r.masks = Masks(np.asarray(self.masks.data)[idx], self.orig_shape)
+        if self.keypoints is not None:
+            r.keypoints = Keypoints(np.asarray(self.keypoints.data)[idx],
+                                    self.orig_shape)
+        if self.obb is not None:
+            r.obb = OBBoxes(np.asarray(self.obb.data)[idx], self.orig_shape)
+        r.probs = self.probs
         return r
 
     def new(self, boxes: Optional[np.ndarray] = None):

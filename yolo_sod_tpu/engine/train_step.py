@@ -180,7 +180,10 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
             p_c = params
         variables = {"params": p_c, "batch_stats": batch_stats}
         mask = jnp.asarray(active_mask, jnp.float32) if active_mask is not None else None
+        # YOLO-World batches carry a text-embedding guide; every other task's
+        # batch simply lacks the key and guide stays None.
         out = model.net.apply(variables, x, train=True, active_mask=mask,
+                              guide=batch.get("txt_feats"),
                               mutable=["batch_stats"])
         feats, mutated = out
         total, items = criterion(feats, batch)

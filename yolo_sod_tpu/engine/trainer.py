@@ -127,6 +127,12 @@ class DetectionTrainer:
 
         return DetectionValidator(args=vargs)
 
+    def preprocess_batch(self, batch: dict) -> dict:
+        """Last hook before the device batch ships (reference
+        BaseTrainer.preprocess_batch). WorldTrainer attaches the
+        text-embedding guide here."""
+        return batch
+
     # -- callbacks ------------------------------------------------------------
     def add_callback(self, event: str, callback):
         self.callbacks[event].append(callback)
@@ -351,6 +357,7 @@ class DetectionTrainer:
                 dev_batch = {k: batch[k]
                              for k in ("img", "cls", "bboxes", "mask_gt",
                                        *self.batch_extra_keys) if k in batch}
+                dev_batch = self.preprocess_batch(dev_batch)
                 if self.mesh is not None:
                     if "spatial" in self.mesh.axis_names:
                         dev_batch = shard_batch_sp(dev_batch, self.mesh)

@@ -1,0 +1,19 @@
+"""Model-family facades beyond plain YOLO (reference ultralytics/models/).
+
+Lazy imports keep `import yolo_sod_tpu` light; each family lives in its own
+module: world (YOLO-World), fastsam (FastSAM), rtdetr (engine/rtdetr.py).
+"""
+
+__all__ = ["YOLOWorld", "WorldTrainer", "FastSAM", "FastSAMPredictor"]
+
+
+def __getattr__(name):
+    if name in ("YOLOWorld", "WorldTrainer"):
+        from yolo_sod_tpu.models import world
+
+        return getattr(world, name)
+    if name in ("FastSAM", "FastSAMPredictor", "FastSAMValidator"):
+        from yolo_sod_tpu.models import fastsam
+
+        return getattr(fastsam, name)
+    raise AttributeError(f"module 'yolo_sod_tpu.models' has no attribute {name!r}")

@@ -138,7 +138,14 @@ class AutoBackend:
 
     # -- uniform API ----------------------------------------------------------
     def forward(self, im):
-        """im: (B, H, W, 3) float32 in [0,1] → (det (B, max_det, 6), n (B,))."""
+        """im: (B, H, W, 3) float32 in [0,1] → (det (B, max_det, 6), n (B,)).
+
+        uint8 input is normalized here: exported graphs are traced with a
+        float signature, while the validator ships raw uint8 batches (the
+        4×-less-transfer contract, reference AutoBackend does the same
+        `im.float()/255` adaptation inside forward)."""
+        if getattr(im, "dtype", None) == np.uint8:
+            im = np.asarray(im, np.float32) / 255.0
         out = self._fn(jnp.asarray(im)
                        if self.format not in ("tflite", "saved_model", "triton")
                        else im)

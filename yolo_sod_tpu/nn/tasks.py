@@ -35,18 +35,20 @@ from yolo_sod_tpu.utils import LOGGER, ROOT, colorstr, yaml_load
 # Module families sharing channel-inference rules (reference tasks.py:1005-1146).
 _BASE_CH = {"Conv", "ConvTranspose", "GhostConv", "Bottleneck", "SPP", "SPPF", "DWConv",
             "Focus", "BottleneckCSP", "C1", "C2", "C2f", "C3k2", "C3", "C3x", "RepC3",
-            "PSA", "C2PSA", "C2fPSA", "A2C2f", "VimBlock", "CompactInvertedBlock",
+            "PSA", "C2PSA", "C2fPSA", "A2C2f", "C2fAttn", "VimBlock", "CompactInvertedBlock",
             "RecurrentAttentionFusionBlock", "BiLevelRoutingAttentionFusionBlock",
             "RepConv", "LightConv"}
 _REPEAT_INSERT = {"BottleneckCSP", "C1", "C2", "C2f", "C3k2", "C3", "C3x", "RepC3",
-                  "C2fPSA", "C2PSA", "A2C2f"}
+                  "C2fPSA", "C2PSA", "A2C2f", "C2fAttn"}
 _ATTN_PASSTHROUGH = {"SE", "MixedAttention", "MambaBlock", "SwinBlock", "SE_Block",
                      "CA_Block", "A2_Attn", "CBAM_Block", "SageAttention2",
                      "BiLevelRoutingAttention"}
 _HEADS = {"Detect", "DetectStable", "Segment", "Pose", "OBB", "v10Detect",
-          "DETRAuxHead", "RTDETRDecoder"}
+          "DETRAuxHead", "RTDETRDecoder", "WorldDetect"}
 _MULTI_INPUT = {"Concat", "Add", "ScaleAdd", "HyperACEBlock", "CA_FPN_Block",
-                "HyperACEBlockStable"} | _HEADS
+                "HyperACEBlockStable", "ImagePoolingAttn"} | _HEADS
+# Modules that consume the text-guide side input (YOLO-World vocabulary).
+_GUIDE_CONSUMERS = {"C2fAttn", "WorldDetect"}
 # Spatial effect of a module on the cumulative downsample factor.
 _DOWNSAMPLE_BY_S = {"Conv", "DWConv", "GhostConv", "Focus"}  # factor = arg s (Focus: 2*s)
 
@@ -148,6 +150,12 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
             c2 = args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
+            if name == "C2fAttn":
+                # embed channels + head count scale with width
+                # (reference tasks.py:1051-1055)
+                args[1] = make_divisible(min(args[1], max_channels // 2) * width, 8)
+                args[2] = int(max(round(min(args[2], max_channels // 2 // 32)) * width, 1)
+                              if args[2] > 1 else args[2])
             args = [c1, c2, *args[1:]]
             if name in _REPEAT_INSERT:
                 args.insert(2, n)
@@ -187,6 +195,13 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
             c2 = c1 * r * r
             args = [r]
             s_out = s_in * r
+        elif name == "ImagePoolingAttn":
+            # Refines the text guide from pooled pyramid levels; produces no
+            # feature map (c2=0 keeps it out of the channel chain).
+            kwargs = {"ec": int(args[0]) if args else 256,
+                      "ch": tuple(ch_of(i, x) for x in f_list)}
+            args = []
+            c2 = 0
         elif name == "OmniKernelFusion":
             c2 = int(args[1])
         elif name == "HyperACEBlock":
@@ -242,6 +257,14 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
             if name in ("Detect", "DetectStable", "v10Detect"):
                 kwargs = {"nc": args[0] if args else nc, "ch": in_chs,
                           "legacy": legacy, "strides": det_strides}
+                args = []
+                detect_index, detect_strides = i, det_strides
+            elif name == "WorldDetect":
+                # YAML: [nc, embed, with_bn]
+                kwargs = {"nc": args[0] if args else nc, "ch": in_chs,
+                          "legacy": legacy, "strides": det_strides,
+                          "embed": int(args[1]) if len(args) > 1 else 512,
+                          "with_bn": bool(args[2]) if len(args) > 2 else False}
                 args = []
                 detect_index, detect_strides = i, det_strides
             elif name == "RTDETRDecoder":
@@ -305,17 +328,33 @@ class Network(nn.Module):
     act_int8_strides: tuple = ()   # opt-in: int8-quantize boundary activations
 
     @nn.compact
-    def __call__(self, x, train: bool = False, active_mask=None):
+    def __call__(self, x, train: bool = False, active_mask=None, guide=None):
         saved: dict[int, jax.Array] = {}
         out = x
+        if guide is not None and guide.shape[0] != x.shape[0]:
+            # One text vocabulary for the whole batch (closed-set serving).
+            guide = jnp.broadcast_to(guide, (x.shape[0], *guide.shape[1:]))
+        if guide is not None:
+            guide = guide.astype(x.dtype)
+        ori_guide = guide
         for spec in self.graph.specs:
             if spec.multi_input:
                 inputs = [out if j == spec.i - 1 else saved[j] for j in spec.f]
             else:
                 j = spec.f[0]
                 inputs = out if (j == spec.i - 1 or j == -1) else saved[j]
-            if spec.name in ("Detect", "DetectStable", "v10Detect",
-                             "Segment", "Pose", "OBB"):
+            if spec.name == "C2fAttn":
+                out = build_module(spec, f"model_{spec.i}")(inputs, guide, train)
+            elif spec.name == "WorldDetect":
+                out = build_module(spec, f"model_{spec.i}")(
+                    inputs, ori_guide, train, active_mask)
+            elif spec.name == "ImagePoolingAttn":
+                # Refine the guide in place; the running feature map is
+                # untouched (reference WorldModel.predict tasks.py:692-693).
+                guide = build_module(spec, f"model_{spec.i}")(inputs, guide, train)
+                continue
+            elif spec.name in ("Detect", "DetectStable", "v10Detect",
+                               "Segment", "Pose", "OBB"):
                 out = build_module(spec, f"model_{spec.i}")(inputs, train, active_mask)
             elif spec.n > 1:
                 out = inputs
@@ -358,6 +397,8 @@ def yaml_model_load(path) -> dict:
     path = Path(path)
     stem = path.stem
     unified = re.sub(r"(\d+)([nslmx])(.*)$", r"\1\3", stem)  # yolov12n → yolov12
+    if unified == stem:
+        unified = re.sub(r"-([nslmx])$", "", stem)            # fastsam-s → fastsam
     candidates = [path]
     for d in MODEL_CFG_DIRS:
         candidates += [d / path.name, d / f"{unified}.yaml"]
@@ -366,7 +407,7 @@ def yaml_model_load(path) -> dict:
         raise FileNotFoundError(f"model yaml '{path}' not found in {MODEL_CFG_DIRS}")
     d = yaml_load(file, append_filename=True)
     if unified != stem and d.get("scales"):
-        m = re.search(r"\d+([nslmx])", stem)
+        m = re.search(r"\d+([nslmx])", stem) or re.search(r"-([nslmx])$", stem)
         if m:
             d["scale"] = m.group(1)
     return d
@@ -544,6 +585,68 @@ class SegmentationModel(DetectionModel):
         self.task = "segment"
 
 
+class WorldModel(DetectionModel):
+    """Open-vocabulary detector (reference tasks.py WorldModel :633).
+
+    Text features ride through the graph as a `guide` side input consumed by
+    C2fAttn / WorldDetect and refined by ImagePoolingAttn; `set_classes`
+    swaps the vocabulary without touching any parameter (the contrastive
+    head is shape-independent of nc), so one set of weights serves any
+    class list — offline, once the embeddings are computed.
+    """
+
+    def __init__(self, cfg="yolov8s-world.yaml", ch: int = 3,
+                 nc: Optional[int] = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+        self.task = "detect"
+        spec = self.graph.specs[self.graph.detect_index]
+        self.embed_dim = dict(spec.kwargs).get("embed", 512)
+        # Placeholder vocabulary (reference :638 uses randn): deterministic,
+        # unit-norm, one row per built-time class.
+        rng = np.random.default_rng(0)
+        t = rng.standard_normal((1, self.nc, self.embed_dim)).astype(np.float32)
+        self.txt_feats = t / np.linalg.norm(t, axis=-1, keepdims=True)
+
+    def set_classes(self, names, embedder=None):
+        """Embed a new class-name vocabulary and make it the decode target
+        (reference :642-661). No parameters change; predictor pipelines
+        recompile once because nc (the cls-channel count) is static."""
+        from yolo_sod_tpu.utils.text_embed import get_text_embedder
+
+        names = list(names)
+        embedder = embedder or get_text_embedder(self.embed_dim)
+        feats = np.asarray(embedder(names), np.float32)      # (K, D)
+        feats = feats / np.maximum(
+            np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        self.txt_feats = feats[None]
+        self.nc = len(names)
+        self.names = {i: n for i, n in enumerate(names)}
+
+    def init(self, rng: Optional[jax.Array] = None, imgsz: int = 256):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        smax = int(self.stride.max())
+        imgsz = int(math.ceil(max(imgsz, smax * 2) / smax) * smax)
+        dummy = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
+        self.variables = self.net.init(rng, dummy, train=True,
+                                       guide=jnp.asarray(self.txt_feats))
+        return self.variables
+
+    def apply(self, variables, x, train: bool = False, active_mask=None,
+              mutable: bool = False, txt_feats=None):
+        guide = jnp.asarray(self.txt_feats) if txt_feats is None else txt_feats
+        if mutable:
+            return self.net.apply(variables, x, train=train,
+                                  active_mask=active_mask, guide=guide,
+                                  mutable=["batch_stats"])
+        return self.net.apply(variables, x, train=train,
+                              active_mask=active_mask, guide=guide)
+
+    def predict(self, variables, x, txt_feats=None):
+        guide = jnp.asarray(self.txt_feats) if txt_feats is None else txt_feats
+        out = self.net.apply(variables, x, train=False, guide=guide)
+        return decode_detections(out, self.graph.detect_strides, self.nc)
+
+
 class PoseModel(DetectionModel):
     """Detect + keypoints (reference tasks.py PoseModel)."""
 
@@ -583,7 +686,8 @@ def guess_model_task(cfg) -> str:
             m = row[2] if isinstance(row[2], str) else row[2].__name__
             if m in _HEAD2TASK:
                 return _HEAD2TASK[m]
-            if m in ("Detect", "DetectStable", "v10Detect", "RTDETRDecoder"):
+            if m in ("Detect", "DetectStable", "v10Detect", "RTDETRDecoder",
+                     "WorldDetect"):
                 return "detect"
         name = str(d.get("yaml_file", ""))
     except (FileNotFoundError, KeyError, TypeError, IndexError):

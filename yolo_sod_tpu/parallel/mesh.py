@@ -51,9 +51,21 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Device-put a host batch pytree with the batch dim sharded over `axis`."""
+    """Device-put a host batch pytree with the batch dim sharded over `axis`.
+
+    Leaves whose leading dim is not the batch size (e.g. a (1, K, D) text
+    guide shared by every sample) replicate instead."""
     sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    rep = replicate(mesh)
+    B = batch["img"].shape[0] if isinstance(batch, dict) and "img" in batch \
+        else None
+
+    def place(x):
+        if B is not None and (getattr(x, "ndim", 0) == 0 or x.shape[0] != B):
+            return jax.device_put(x, rep)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(place, batch)
 
 
 def tp_param_sharding(mesh: Mesh, leaf, axis: str = "model",
