@@ -1,0 +1,234 @@
+"""SAM family: numerical parity vs the reference torch implementation with
+SHARED weights (the gold-standard correctness proof — reference modules are
+built in-process with random init, converted via models/sam/convert.py), plus
+predictor / everything-mode behavior.
+
+Small dims (img 64, embed 64, depth 2) keep CPU runtime sane; every code path
+(windowed + global attention, rel-pos, prompt padding, two-way transformer,
+mask upscaling) traces identically to the 1024² production config.
+"""
+
+import numpy as np
+import pytest
+
+import tests.reference_shim as shim
+
+HAVE_REF = shim.install()
+
+
+def _small_ref_sam():
+    """Reference SAMModel at test dims (mirrors reference build.py:122)."""
+    from functools import partial
+
+    import torch
+    from ultralytics.models.sam.modules.decoders import MaskDecoder
+    from ultralytics.models.sam.modules.encoders import (ImageEncoderViT,
+                                                         PromptEncoder)
+    from ultralytics.models.sam.modules.sam import SAMModel
+    from ultralytics.models.sam.modules.transformer import TwoWayTransformer
+
+    torch.manual_seed(0)
+    enc = ImageEncoderViT(
+        img_size=64, patch_size=16, embed_dim=64, depth=2, num_heads=2,
+        mlp_ratio=4, out_chans=256, qkv_bias=True,
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+        use_rel_pos=True, global_attn_indexes=[1], window_size=4)
+    # The reference forward rescales pos_embed by img_size/1024 even though
+    # __init__ already sized it for img_size (encoders.py:153-158) — at 64²
+    # that computes a 0-sized interpolation. Pinning img_size=1024 skips the
+    # rescale; the 4x4 pos_embed then adds directly, matching our encoder.
+    enc.img_size = 1024
+    pe = PromptEncoder(embed_dim=256, image_embedding_size=(4, 4),
+                       input_image_size=(64, 64), mask_in_chans=16)
+    dec = MaskDecoder(
+        num_multimask_outputs=3,
+        transformer=TwoWayTransformer(depth=2, embedding_dim=256,
+                                      mlp_dim=2048, num_heads=8),
+        transformer_dim=256, iou_head_depth=3, iou_head_hidden_dim=256)
+    # randomize embeddings/tables that init to zeros so parity is non-trivial
+    with torch.no_grad():
+        for m in (enc, pe, dec):
+            for p in m.parameters():
+                if p.abs().sum() == 0:
+                    p.normal_(0, 0.02)
+    return SAMModel(image_encoder=enc, prompt_encoder=pe, mask_decoder=dec,
+                    pixel_mean=[123.675, 116.28, 103.53],
+                    pixel_std=[58.395, 57.12, 57.375])
+
+
+@pytest.fixture(scope="module")
+def pair():
+    if not HAVE_REF:
+        pytest.skip("reference package unavailable")
+    from yolo_sod_tpu.models.sam.convert import convert_sam
+    from yolo_sod_tpu.models.sam.model import SAMModel
+
+    ref = _small_ref_sam()
+    ours = SAMModel(img_size=64, embed_dim=64, depth=2, num_heads=2,
+                    global_attn_indexes=(1,), window_size=4)
+    ours.variables = convert_sam(ref, depth=2)
+    return ref, ours
+
+
+def test_image_encoder_parity(pair):
+    import jax.numpy as jnp
+    import torch
+
+    ref, ours = pair
+    x = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.image_encoder(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got = ours.encode_image(ours.variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                               want.detach().numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_prompt_encoder_parity_points_and_boxes(pair):
+    """Our unified (points+labels) row form must equal the reference's
+    separate points/boxes path, incl. the pad point."""
+    import jax.numpy as jnp
+    import torch
+
+    ref, ours = pair
+    pts = np.array([[[10.0, 20.0], [40.0, 8.0]]], np.float32)
+    lbl = np.array([[1, 0]], np.int32)
+    box = np.array([[5.0, 6.0, 50.0, 40.0]], np.float32)
+
+    # case 1: points only (reference pads with a -1 point)
+    with torch.no_grad():
+        sp_ref, dn_ref = ref.prompt_encoder(
+            points=(torch.from_numpy(pts), torch.from_numpy(lbl)),
+            boxes=None, masks=None)
+    rows_p = np.concatenate([pts, np.zeros((1, 1, 2), np.float32)], 1)
+    rows_l = np.concatenate([lbl, -np.ones((1, 1), np.int32)], 1)
+    sp, dn = ours.prompt_encoder.apply(
+        ours.variables["prompt"], jnp.asarray(rows_p), jnp.asarray(rows_l))
+    np.testing.assert_allclose(np.asarray(sp), sp_ref.detach().numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dn).transpose(0, 3, 1, 2),
+                               dn_ref.detach().numpy(), atol=1e-5, rtol=1e-4)
+
+    # case 2: points + box (corners are label-2/3 points, no pad)
+    with torch.no_grad():
+        sp_ref2, _ = ref.prompt_encoder(
+            points=(torch.from_numpy(pts), torch.from_numpy(lbl)),
+            boxes=torch.from_numpy(box), masks=None)
+    rows_p2 = np.concatenate([pts, box.reshape(1, 2, 2)], 1)
+    rows_l2 = np.concatenate([lbl, np.array([[2, 3]], np.int32)], 1)
+    sp2, _ = ours.prompt_encoder.apply(
+        ours.variables["prompt"], jnp.asarray(rows_p2), jnp.asarray(rows_l2))
+    # reference concats [points+pad? no pad when boxes given..., corners]
+    np.testing.assert_allclose(np.asarray(sp2), sp_ref2.detach().numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_mask_decoder_parity(pair):
+    import jax.numpy as jnp
+    import torch
+
+    ref, ours = pair
+    rng = np.random.default_rng(1)
+    feat = rng.standard_normal((1, 4, 4, 256)).astype(np.float32)
+    sparse = rng.standard_normal((1, 3, 256)).astype(np.float32)
+    dense = rng.standard_normal((1, 4, 4, 256)).astype(np.float32)
+    with torch.no_grad():
+        pe_t = ref.prompt_encoder.get_dense_pe()
+        m_ref, iou_ref = ref.mask_decoder(
+            image_embeddings=torch.from_numpy(feat.transpose(0, 3, 1, 2)),
+            image_pe=pe_t,
+            sparse_prompt_embeddings=torch.from_numpy(sparse),
+            dense_prompt_embeddings=torch.from_numpy(dense.transpose(0, 3, 1, 2)),
+            multimask_output=True)
+    img_pe = ours.prompt_encoder.apply(ours.variables["prompt"],
+                                       method="get_dense_pe")
+    m, iou = ours.mask_decoder.apply(
+        ours.variables["decoder"], jnp.asarray(feat), img_pe,
+        jnp.asarray(sparse), jnp.asarray(dense), multimask_output=True)
+    np.testing.assert_allclose(np.asarray(iou), iou_ref.detach().numpy(),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(m), m_ref.detach().numpy(),
+                               atol=5e-4, rtol=1e-2)
+
+
+def test_end_to_end_prompt_parity(pair):
+    """Full image → features → point prompt → mask logits, both stacks."""
+    import jax.numpy as jnp
+    import torch
+
+    ref, ours = pair
+    rng = np.random.default_rng(2)
+    img = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    pts = np.array([[[30.0, 30.0]]], np.float32)
+    lbl = np.array([[1]], np.int32)
+    with torch.no_grad():
+        f_t = ref.image_encoder(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        sp, dn = ref.prompt_encoder(
+            points=(torch.from_numpy(pts), torch.from_numpy(lbl)),
+            boxes=None, masks=None)
+        m_ref, iou_ref = ref.mask_decoder(
+            image_embeddings=f_t, image_pe=ref.prompt_encoder.get_dense_pe(),
+            sparse_prompt_embeddings=sp, dense_prompt_embeddings=dn,
+            multimask_output=False)
+    feats = ours.encode_image(ours.variables, jnp.asarray(img))
+    rows_p = np.concatenate([pts, np.zeros((1, 1, 2), np.float32)], 1)
+    rows_l = np.concatenate([lbl, -np.ones((1, 1), np.int32)], 1)
+    m, iou = ours.decode(ours.variables, feats, jnp.asarray(rows_p),
+                         jnp.asarray(rows_l))
+    np.testing.assert_allclose(np.asarray(iou), iou_ref.detach().numpy(),
+                               atol=1e-3, rtol=1e-2)
+    # mask logits agree; compare where the reference is decisive
+    np.testing.assert_allclose(np.asarray(m), m_ref.detach().numpy(),
+                               atol=2e-3, rtol=5e-2)
+    agree = (np.asarray(m) > 0) == (m_ref.detach().numpy() > 0)
+    assert agree.mean() > 0.99
+
+
+# ----------------------------------------------------------- predictor API --
+
+@pytest.fixture(scope="module")
+def small_sam():
+    from yolo_sod_tpu.models.sam import SAM
+
+    return SAM("sam_b", img_size=64, embed_dim=64, depth=2, num_heads=2,
+               global_attn_indexes=(1,), window_size=4)
+
+
+def test_sam_prompted_predict(small_sam):
+    img = (np.random.default_rng(0).random((48, 60, 3)) * 255).astype(np.uint8)
+    res = small_sam(img, points=[[30, 24]], labels=[1])
+    assert len(res) == 1
+    r = res[0]
+    assert r.masks is not None and r.masks.data.shape[1:] == (48, 60)
+    assert len(r.boxes) == len(r.masks.data)
+
+    res2 = small_sam(img, bboxes=[[5, 5, 40, 40], [10, 10, 55, 45]])
+    assert len(res2[0]) == 2                   # one mask per box prompt
+
+
+def test_sam_everything_mode(small_sam):
+    img = (np.random.default_rng(1).random((48, 60, 3)) * 255).astype(np.uint8)
+    res = small_sam(img, points_stride=4, conf=0.0)
+    r = res[0]
+    # untrained model: just contract checks — masks/boxes/scores aligned
+    assert r.masks is None or len(r.masks.data) == len(r.boxes)
+
+
+def test_amg_helpers():
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.models.sam import amg
+
+    g = amg.build_point_grid(4)
+    assert g.shape == (16, 2) and g.min() > 0 and g.max() < 1
+    m = np.zeros((2, 8, 8), bool)
+    m[0, 2:5, 3:7] = True
+    boxes = np.asarray(amg.batched_mask_to_box(jnp.asarray(m)))
+    np.testing.assert_allclose(boxes[0], [3, 2, 7, 5])
+    np.testing.assert_allclose(boxes[1], [0, 0, 0, 0])
+    logits = jnp.where(jnp.asarray(m), 5.0, -5.0)
+    s = np.asarray(amg.calculate_stability_score(logits, 0.0, 0.95))
+    np.testing.assert_allclose(s[0], 1.0)
+    keep = amg.nms_greedy(np.array([[0, 0, 10, 10], [1, 1, 10, 10],
+                                    [20, 20, 30, 30.0]]),
+                          np.array([0.9, 0.8, 0.7]), 0.5)
+    assert list(keep) == [0, 2]

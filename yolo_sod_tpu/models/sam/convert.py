@@ -1,0 +1,163 @@
+"""Reference-SAM (torch) checkpoint → flax variables.
+
+Maps the reference's state_dict layout (models/sam/build.py checkpoints /
+modules constructed in-process) onto models/sam/modules.py parameter trees.
+Used both to load real SAM checkpoints and by tests/test_sam.py to prove
+numerical parity against the reference implementation with shared weights.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _t(w):  # torch tensor → numpy
+    return np.asarray(w.detach().cpu().numpy())
+
+
+def _conv(w):
+    """torch conv (O, I, kh, kw) → flax (kh, kw, I, O)."""
+    return _t(w).transpose(2, 3, 1, 0)
+
+
+def _convT(w):
+    """torch ConvTranspose2d (I, O, kh, kw) → flax ConvTranspose (kh, kw, I, O).
+
+    flax's conv_transpose applies the kernel unflipped (it is a fractionally
+    strided conv), while torch's is the conv adjoint — spatially flip to
+    match (verified numerically)."""
+    return _t(w).transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+
+
+def _lin(w):
+    return _t(w).T
+
+
+def _ln(sd, prefix):
+    return {"scale": _t(sd[f"{prefix}.weight"]),
+            "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _ln2d(sd, prefix):
+    return {"weight": _t(sd[f"{prefix}.weight"]),
+            "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _dense(sd, prefix):
+    out = {"kernel": _lin(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _attention(sd, prefix):
+    """Decoder Attention (q/k/v/out projections)."""
+    return {p: _dense(sd, f"{prefix}.{p}") for p in
+            ("q_proj", "k_proj", "v_proj", "out_proj")}
+
+
+def convert_image_encoder(sd: Dict, depth: int) -> Dict:
+    """ImageEncoderViT state_dict → flax params (modules.ImageEncoderViT)."""
+    p = {
+        "patch_embed": {"kernel": _conv(sd["patch_embed.proj.weight"]),
+                        "bias": _t(sd["patch_embed.proj.bias"])},
+        "neck_0": {"kernel": _conv(sd["neck.0.weight"])},
+        "neck_1": _ln2d(sd, "neck.1"),
+        "neck_2": {"kernel": _conv(sd["neck.2.weight"])},
+        "neck_3": _ln2d(sd, "neck.3"),
+    }
+    if "pos_embed" in sd:
+        p["pos_embed"] = _t(sd["pos_embed"])
+    for i in range(depth):
+        b = f"blocks.{i}"
+        attn = {"qkv": _dense(sd, f"{b}.attn.qkv"),
+                "proj": _dense(sd, f"{b}.attn.proj")}
+        if f"{b}.attn.rel_pos_h" in sd:
+            attn["rel_pos_h"] = _t(sd[f"{b}.attn.rel_pos_h"])
+            attn["rel_pos_w"] = _t(sd[f"{b}.attn.rel_pos_w"])
+        p[f"blocks_{i}"] = {
+            "norm1": _ln(sd, f"{b}.norm1"), "norm2": _ln(sd, f"{b}.norm2"),
+            "attn": attn,
+            "mlp": {"lin1": _dense(sd, f"{b}.mlp.lin1"),
+                    "lin2": _dense(sd, f"{b}.mlp.lin2")},
+        }
+    return p
+
+
+def convert_prompt_encoder(sd: Dict) -> Dict:
+    """PromptEncoder state_dict → flax params. Embedding row order:
+    [not_a_point(-1), neg(0), pos(1), box_tl(2), box_br(3)]
+    (modules.PromptEncoder docstring)."""
+    rows = [_t(sd["not_a_point_embed.weight"])[0]]
+    rows += [_t(sd[f"point_embeddings.{i}.weight"])[0] for i in range(4)]
+    return {
+        "pe_layer": {"gaussian_matrix":
+                     _t(sd["pe_layer.positional_encoding_gaussian_matrix"])},
+        "point_embeddings": np.stack(rows),
+        "no_mask_embed": _t(sd["no_mask_embed.weight"]),
+        "mask_down_0": {"kernel": _conv(sd["mask_downscaling.0.weight"]),
+                        "bias": _t(sd["mask_downscaling.0.bias"])},
+        "mask_ln_0": _ln2d(sd, "mask_downscaling.1"),
+        "mask_down_1": {"kernel": _conv(sd["mask_downscaling.3.weight"]),
+                        "bias": _t(sd["mask_downscaling.3.bias"])},
+        "mask_ln_1": _ln2d(sd, "mask_downscaling.4"),
+        "mask_down_2": {"kernel": _conv(sd["mask_downscaling.6.weight"]),
+                        "bias": _t(sd["mask_downscaling.6.bias"])},
+    }
+
+
+def convert_mask_decoder(sd: Dict, depth: int = 2,
+                         num_mask_tokens: int = 4) -> Dict:
+    """MaskDecoder state_dict → flax params."""
+
+    def twoway_block(b):
+        return {
+            "self_attn": _attention(sd, f"{b}.self_attn"),
+            "cross_attn_token_to_image":
+                _attention(sd, f"{b}.cross_attn_token_to_image"),
+            "cross_attn_image_to_token":
+                _attention(sd, f"{b}.cross_attn_image_to_token"),
+            "norm1": _ln(sd, f"{b}.norm1"), "norm2": _ln(sd, f"{b}.norm2"),
+            "norm3": _ln(sd, f"{b}.norm3"), "norm4": _ln(sd, f"{b}.norm4"),
+            "mlp": {"lin1": _dense(sd, f"{b}.mlp.lin1"),
+                    "lin2": _dense(sd, f"{b}.mlp.lin2")},
+        }
+
+    def mlp3(prefix, n=3):
+        return {f"layers_{i}": _dense(sd, f"{prefix}.layers.{i}")
+                for i in range(n)}
+
+    p = {
+        "iou_token": _t(sd["iou_token.weight"]),
+        "mask_tokens": _t(sd["mask_tokens.weight"]),
+        "transformer": {
+            **{f"layers_{i}": twoway_block(f"transformer.layers.{i}")
+               for i in range(depth)},
+            "final_attn_token_to_image":
+                _attention(sd, "transformer.final_attn_token_to_image"),
+            "norm_final_attn": _ln(sd, "transformer.norm_final_attn"),
+        },
+        "upscale_0": {"kernel": _convT(sd["output_upscaling.0.weight"]),
+                      "bias": _t(sd["output_upscaling.0.bias"])},
+        "upscale_ln": _ln2d(sd, "output_upscaling.1"),
+        "upscale_1": {"kernel": _convT(sd["output_upscaling.3.weight"]),
+                      "bias": _t(sd["output_upscaling.3.bias"])},
+        "iou_head": mlp3("iou_prediction_head"),
+    }
+    for i in range(num_mask_tokens):
+        p[f"hyper_{i}"] = mlp3(f"output_hypernetworks_mlps.{i}")
+    return p
+
+
+def convert_sam(torch_sam, depth: int) -> Dict:
+    """Full reference SAMModel → our variables dict."""
+    return {
+        "encoder": {"params": convert_image_encoder(
+            torch_sam.image_encoder.state_dict(), depth)},
+        "prompt": {"params": convert_prompt_encoder(
+            torch_sam.prompt_encoder.state_dict())},
+        "decoder": {"params": convert_mask_decoder(
+            torch_sam.mask_decoder.state_dict())},
+    }
