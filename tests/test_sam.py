@@ -232,3 +232,50 @@ def test_amg_helpers():
                                     [20, 20, 30, 30.0]]),
                           np.array([0.9, 0.8, 0.7]), 0.5)
     assert list(keep) == [0, 2]
+
+
+# ----------------------------------------------------------- MobileSAM -----
+
+def test_tiny_vit_parity():
+    """MobileSAM's TinyViT encoder vs the reference with shared weights."""
+    if not HAVE_REF:
+        pytest.skip("reference package unavailable")
+    import jax.numpy as jnp
+    import torch
+    from ultralytics.models.sam.modules.tiny_encoder import TinyViT as RefTinyViT
+
+    from yolo_sod_tpu.models.sam.convert import convert_tiny_vit
+    from yolo_sod_tpu.models.sam.tiny_encoder import TinyViT
+
+    torch.manual_seed(0)
+    ref = RefTinyViT(img_size=64, in_chans=3, embed_dims=(16, 32, 40, 320),
+                     depths=(1, 1, 2, 1), num_heads=(1, 2, 2, 4),
+                     window_sizes=(4, 4, 7, 4), drop_path_rate=0.0)
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.02)
+    # eval() AFTER randomizing: the reference caches `ab` attention biases at
+    # train(False) time (tiny_encoder.py:456-462) — randomizing afterwards
+    # would leave the forward on stale zero biases.
+    ref = ref.eval()
+
+    ours = TinyViT(img_size=64, embed_dims=(16, 32, 40, 320),
+                   depths=(1, 1, 2, 1), num_heads=(1, 2, 2, 4),
+                   window_sizes=(4, 4, 7, 4))
+    variables = convert_tiny_vit(ref.state_dict(), depths=(1, 1, 2, 1))
+    x = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got = ours.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                               want.detach().numpy(), atol=5e-4, rtol=1e-2)
+
+
+def test_mobile_sam_builds_and_prompts():
+    from yolo_sod_tpu.models.sam import SAM
+
+    sam = SAM("mobile_sam", img_size=64)
+    img = (np.random.default_rng(2).random((48, 60, 3)) * 255).astype(np.uint8)
+    res = sam(img, points=[[30, 24]])
+    assert len(res) == 1 and res[0].masks.data.shape[1:] == (48, 60)

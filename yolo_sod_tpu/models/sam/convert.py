@@ -151,6 +151,65 @@ def convert_mask_decoder(sd: Dict, depth: int = 2,
     return p
 
 
+def _convbn(sd, prefix):
+    """Conv2d_BN → (params, batch_stats) for modules.tiny_encoder.ConvBN."""
+    params = {"c": {"kernel": _conv(sd[f"{prefix}.c.weight"])},
+              "bn": {"scale": _t(sd[f"{prefix}.bn.weight"]),
+                     "bias": _t(sd[f"{prefix}.bn.bias"])}}
+    stats = {"bn": {"mean": _t(sd[f"{prefix}.bn.running_mean"]),
+                    "var": _t(sd[f"{prefix}.bn.running_var"])}}
+    return params, stats
+
+
+def convert_tiny_vit(sd: Dict, depths=(2, 2, 6, 2)) -> Dict:
+    """Reference TinyViT state_dict → flax variables (tiny_encoder.TinyViT)."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(name, prefix):
+        p, s = _convbn(sd, prefix)
+        params[name], stats[name] = p, s
+
+    put("patch_embed_0", "patch_embed.seq.0")
+    put("patch_embed_1", "patch_embed.seq.2")
+    for i in range(depths[0]):
+        b = f"layers.0.blocks.{i}"
+        p = {}
+        s = {}
+        for cv in ("conv1", "conv2", "conv3"):
+            pp, ss = _convbn(sd, f"{b}.{cv}")
+            p[cv], s[cv] = pp, ss
+        params[f"layer0_block{i}"], stats[f"layer0_block{i}"] = p, s
+    for li in range(len(depths)):
+        if f"layers.{li}.downsample.conv1.c.weight" in sd:
+            p = {}
+            s = {}
+            for cv in ("conv1", "conv2", "conv3"):
+                pp, ss = _convbn(sd, f"layers.{li}.downsample.{cv}")
+                p[cv], s[cv] = pp, ss
+            params[f"layer{li}_down"], stats[f"layer{li}_down"] = p, s
+    for li in range(1, len(depths)):
+        for i in range(depths[li]):
+            b = f"layers.{li}.blocks.{i}"
+            lc_p, lc_s = _convbn(sd, f"{b}.local_conv")
+            params[f"layer{li}_block{i}"] = {
+                "attn": {"norm": _ln(sd, f"{b}.attn.norm"),
+                         "qkv": _dense(sd, f"{b}.attn.qkv"),
+                         "proj": _dense(sd, f"{b}.attn.proj"),
+                         "attention_biases": _t(sd[f"{b}.attn.attention_biases"])},
+                "local_conv": lc_p,
+                "mlp_norm": _ln(sd, f"{b}.mlp.norm"),
+                "fc1": _dense(sd, f"{b}.mlp.fc1"),
+                "fc2": _dense(sd, f"{b}.mlp.fc2"),
+            }
+            stats[f"layer{li}_block{i}"] = {"local_conv": lc_s}
+    params["neck_0"] = {"kernel": _conv(sd["neck.0.weight"])}
+    params["neck_1"] = _ln2d(sd, "neck.1")
+    params["neck_2"] = {"kernel": _conv(sd["neck.2.weight"])}
+    params["neck_3"] = _ln2d(sd, "neck.3")
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_sam(torch_sam, depth: int) -> Dict:
     """Full reference SAMModel → our variables dict."""
     return {

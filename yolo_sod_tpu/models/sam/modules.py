@@ -342,20 +342,20 @@ class TwoWayAttentionBlock(nn.Module):
             q = queries + query_pe
             queries = queries + Attention(self.embedding_dim, self.num_heads,
                                           name="self_attn")(q, q, queries)
-        queries = nn.LayerNorm(name="norm1")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm1")(queries)
         q, k = queries + query_pe, keys + key_pe
         queries = queries + Attention(
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             name="cross_attn_token_to_image")(q, k, keys)
-        queries = nn.LayerNorm(name="norm2")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm2")(queries)
         queries = queries + MLPBlock(self.embedding_dim, self.mlp_dim,
                                      act="relu", name="mlp")(queries)
-        queries = nn.LayerNorm(name="norm3")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm3")(queries)
         q, k = queries + query_pe, keys + key_pe
         keys = keys + Attention(
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             name="cross_attn_image_to_token")(k, q, queries)
-        keys = nn.LayerNorm(name="norm4")(keys)
+        keys = nn.LayerNorm(epsilon=1e-5, name="norm4")(keys)
         return queries, keys
 
 
@@ -386,7 +386,7 @@ class TwoWayTransformer(nn.Module):
         queries = queries + Attention(
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             name="final_attn_token_to_image")(q, k, keys)
-        return nn.LayerNorm(name="norm_final_attn")(queries), keys
+        return nn.LayerNorm(epsilon=1e-5, name="norm_final_attn")(queries), keys
 
 
 class MaskDecoder(nn.Module):
