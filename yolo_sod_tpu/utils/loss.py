@@ -21,6 +21,23 @@ from yolo_sod_tpu.ops.boxes import bbox2dist, bbox_iou, dist2bbox, make_anchors,
 from yolo_sod_tpu.utils.tal import TaskAlignedAssigner
 
 
+def split_feats(feats, reg_max: int, no: int, dtype=jnp.float32):
+    """Per-level slice → flatten → concat: (pred_distri (B, A, 4*reg_max),
+    pred_scores (B, A, nc)).
+
+    Slicing each 4-D level map BEFORE flatten+concat lets XLA fold
+    slice-of-concat back to the head's box/cls tower outputs, so the
+    interleaved (B, A, 4*reg_max+nc) tensor (74-channel layout → 128-lane
+    pad, copy/layout flips in fwd AND grad graphs) never materializes."""
+    B = feats[0].shape[0]
+    nd = reg_max * 4
+    pred_distri = jnp.concatenate(
+        [f[..., :nd].reshape(B, -1, nd) for f in feats], 1).astype(dtype)
+    pred_scores = jnp.concatenate(
+        [f[..., nd:].reshape(B, -1, no - nd) for f in feats], 1).astype(dtype)
+    return pred_distri, pred_scores
+
+
 def _bce_with_logits(logits, targets):
     """Elementwise binary cross-entropy on logits (reduction='none')."""
     # log(1 + exp(-|x|)) formulation for stability.
@@ -85,10 +102,7 @@ class DetectionLoss:
         """
         B = feats[0].shape[0]
         dtype = jnp.float32
-        flat = [f.reshape(B, -1, self.no) for f in feats]
-        x = jnp.concatenate(flat, axis=1).astype(dtype)          # (B, A, no)
-        pred_distri = x[..., : self.reg_max * 4]
-        pred_scores = x[..., self.reg_max * 4:]
+        pred_distri, pred_scores = split_feats(feats, self.reg_max, self.no)
 
         hw = [(f.shape[1], f.shape[2]) for f in feats]
         anchor_points, stride_tensor = make_anchors(hw, self.strides)

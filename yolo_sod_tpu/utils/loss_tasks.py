@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from yolo_sod_tpu.ops.boxes import make_anchors, xywh2xyxy
-from yolo_sod_tpu.utils.loss import DetectionLoss, _bce_with_logits
+from yolo_sod_tpu.utils.loss import split_feats, DetectionLoss, _bce_with_logits
 
 
 def _gather_foreground(fg_mask, target_scores, max_fg: int):
@@ -60,9 +60,9 @@ class SegmentationLoss(DetectionLoss):
         mask_gt = batch["mask_gt"].astype(jnp.float32)[..., None]
         gt_bboxes = gt_bboxes * mask_gt
 
-        x = jnp.concatenate([f.reshape(B, -1, self.no) for f in feats], 1)
-        pred_scores = jax.nn.sigmoid(x[..., self.reg_max * 4:].astype(jnp.float32))
-        pd = x[..., : self.reg_max * 4].reshape(B, -1, 4, self.reg_max)
+        pred_distri, raw_scores = split_feats(feats, self.reg_max, self.no)
+        pred_scores = jax.nn.sigmoid(raw_scores)
+        pd = pred_distri.reshape(B, -1, 4, self.reg_max)
         proj = jnp.arange(self.reg_max, dtype=jnp.float32)
         from yolo_sod_tpu.ops.boxes import dist2bbox
 
@@ -136,9 +136,9 @@ class PoseLoss(DetectionLoss):
         gt_bboxes = xywh2xyxy(batch["bboxes"].astype(jnp.float32) * scale)
         gt_labels = batch["cls"].astype(jnp.float32)[..., None]
         mask_gt = batch["mask_gt"].astype(jnp.float32)[..., None]
-        x = jnp.concatenate([f.reshape(B, -1, self.no) for f in feats], 1)
-        pred_scores = jax.nn.sigmoid(x[..., self.reg_max * 4:].astype(jnp.float32))
-        pd = x[..., : self.reg_max * 4].reshape(B, -1, 4, self.reg_max)
+        pred_distri, raw_scores = split_feats(feats, self.reg_max, self.no)
+        pred_scores = jax.nn.sigmoid(raw_scores)
+        pd = pred_distri.reshape(B, -1, 4, self.reg_max)
         proj = jnp.arange(self.reg_max, dtype=jnp.float32)
         from yolo_sod_tpu.ops.boxes import dist2bbox
 
@@ -216,9 +216,9 @@ class OBBLoss(DetectionLoss):
         gt_bboxes = xywh2xyxy(batch["bboxes"].astype(jnp.float32) * scale)
         gt_labels = batch["cls"].astype(jnp.float32)[..., None]
         mask_gt = batch["mask_gt"].astype(jnp.float32)[..., None]
-        x = jnp.concatenate([f.reshape(B, -1, self.no) for f in feats], 1)
-        pred_scores = jax.nn.sigmoid(x[..., self.reg_max * 4:].astype(jnp.float32))
-        pd = x[..., : self.reg_max * 4].reshape(B, -1, 4, self.reg_max)
+        pred_distri, raw_scores = split_feats(feats, self.reg_max, self.no)
+        pred_scores = jax.nn.sigmoid(raw_scores)
+        pd = pred_distri.reshape(B, -1, 4, self.reg_max)
         proj = jnp.arange(self.reg_max, dtype=jnp.float32)
         pred_ltrb = jnp.einsum("bafc,c->baf", jax.nn.softmax(pd, -1), proj)
         pred_bboxes = dist2bbox(pred_ltrb, anchor_points[None], xywh=True)
