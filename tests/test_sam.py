@@ -279,3 +279,158 @@ def test_mobile_sam_builds_and_prompts():
     img = (np.random.default_rng(2).random((48, 60, 3)) * 255).astype(np.uint8)
     res = sam(img, points=[[30, 24]])
     assert len(res) == 1 and res[0].masks.data.shape[1:] == (48, 60)
+
+
+# ----------------------------------------------------------------- SAM2 -----
+
+def test_torch_bicubic_matrix_matches_torch():
+    import torch
+
+    from yolo_sod_tpu.models.sam.sam2 import torch_bicubic_matrix
+
+    x = np.random.default_rng(0).standard_normal((1, 3, 14, 14)).astype(np.float32)
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(37, 23), mode="bicubic",
+        align_corners=False).numpy()
+    Wh = torch_bicubic_matrix(14, 37)
+    Ww = torch_bicubic_matrix(14, 23)
+    got = np.einsum("hH,bcHW,wW->bchw", Wh, x, Ww)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def _small_ref_sam2():
+    """Reference SAM2 image-path pieces at test dims (build.py:_build_sam2
+    shape, without the video memory stack)."""
+    from types import SimpleNamespace
+
+    import torch
+    from ultralytics.models.sam.modules.blocks import SAM2TwoWayTransformer
+    from ultralytics.models.sam.modules.decoders import SAM2MaskDecoder
+    from ultralytics.models.sam.modules.encoders import (FpnNeck, Hiera,
+                                                         ImageEncoder,
+                                                         PromptEncoder)
+
+    torch.manual_seed(0)
+    trunk = Hiera(embed_dim=16, num_heads=1, stages=(1, 1, 2, 1),
+                  global_att_blocks=(3,), window_spec=(4, 4, 4, 4),
+                  window_pos_embed_bkg_spatial_size=(16, 16))
+    neck = FpnNeck(d_model=256, backbone_channel_list=[128, 64, 32, 16],
+                   fpn_top_down_levels=[2, 3], fpn_interp_model="nearest")
+    image_encoder = ImageEncoder(trunk=trunk, neck=neck, scalp=1)
+    prompt = PromptEncoder(embed_dim=256, image_embedding_size=(4, 4),
+                           input_image_size=(64, 64), mask_in_chans=16)
+    decoder = SAM2MaskDecoder(
+        num_multimask_outputs=3,
+        transformer=SAM2TwoWayTransformer(depth=2, embedding_dim=256,
+                                          mlp_dim=2048, num_heads=8),
+        transformer_dim=256, use_high_res_features=True,
+        iou_prediction_use_sigmoid=True, pred_obj_scores=True,
+        pred_obj_scores_mlp=True, use_multimask_token_for_obj_ptr=True,
+        dynamic_multimask_via_stability=True,
+        dynamic_multimask_stability_delta=0.05,
+        dynamic_multimask_stability_thresh=0.98)
+    mods = SimpleNamespace(image_encoder=image_encoder,
+                           sam_prompt_encoder=prompt,
+                           sam_mask_decoder=decoder,
+                           no_mem_embed=torch.randn(1, 1, 256) * 0.02)
+    with torch.no_grad():
+        for m in (image_encoder, prompt, decoder):
+            for p in m.parameters():
+                if p.abs().sum() == 0:
+                    p.normal_(0, 0.02)
+    image_encoder.eval(), prompt.eval(), decoder.eval()
+    return mods
+
+
+@pytest.fixture(scope="module")
+def sam2_pair():
+    if not HAVE_REF:
+        pytest.skip("reference package unavailable")
+    from yolo_sod_tpu.models.sam.convert import convert_sam2
+    from yolo_sod_tpu.models.sam.sam2 import SAM2Model
+
+    ref = _small_ref_sam2()
+    ours = SAM2Model(variant="custom", img_size=64, embed_dim=16,
+                     stages=(1, 1, 2, 1), num_heads=1,
+                     global_att_blocks=(3,), window_spec=(4, 4, 4, 4),
+                     window_pos_embed_bkg_spatial_size=(16, 16))
+    ours.variables = convert_sam2(ref, trunk_depth=5)
+    return ref, ours
+
+
+def _ref_sam2_features(ref, x_t):
+    import torch
+
+    with torch.no_grad():
+        out = ref.image_encoder(x_t)
+        fpn = out["backbone_fpn"]
+        fpn[0] = ref.sam_mask_decoder.conv_s0(fpn[0])
+        fpn[1] = ref.sam_mask_decoder.conv_s1(fpn[1])
+        # (1, 1, C) no-mem embed broadcast over the NCHW spatial map
+        embed = fpn[2] + ref.no_mem_embed.permute(0, 2, 1)[..., None]
+    return fpn[0], fpn[1], embed
+
+
+def test_sam2_encoder_parity(sam2_pair):
+    import jax.numpy as jnp
+    import torch
+
+    ref, ours = sam2_pair
+    x = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    s0_t, s1_t, emb_t = _ref_sam2_features(
+        ref, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    feats = ours.encode_image(ours.variables, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(feats["high_res_feats"][0]).transpose(0, 3, 1, 2),
+        s0_t.detach().numpy(), atol=5e-4, rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(feats["high_res_feats"][1]).transpose(0, 3, 1, 2),
+        s1_t.detach().numpy(), atol=5e-4, rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(feats["image_embed"]).transpose(0, 3, 1, 2),
+        emb_t.detach().numpy(), atol=5e-4, rtol=1e-2)
+
+
+def test_sam2_end_to_end_prompt_parity(sam2_pair):
+    import jax.numpy as jnp
+    import torch
+
+    ref, ours = sam2_pair
+    x = np.random.default_rng(1).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    pts = np.array([[[30.0, 30.0]]], np.float32)
+    lbl = np.array([[1]], np.int32)
+    s0_t, s1_t, emb_t = _ref_sam2_features(
+        ref, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        sp, dn = ref.sam_prompt_encoder(
+            points=(torch.from_numpy(pts), torch.from_numpy(lbl)),
+            boxes=None, masks=None)
+        for multi in (True, False):
+            m_ref, iou_ref, _, _ = ref.sam_mask_decoder(
+                image_embeddings=emb_t,
+                image_pe=ref.sam_prompt_encoder.get_dense_pe(),
+                sparse_prompt_embeddings=sp, dense_prompt_embeddings=dn,
+                multimask_output=multi, repeat_image=False,
+                high_res_features=[s0_t, s1_t])
+            feats = ours.encode_image(ours.variables, jnp.asarray(x))
+            rows_p = np.concatenate([pts, np.zeros((1, 1, 2), np.float32)], 1)
+            rows_l = np.concatenate([lbl, -np.ones((1, 1), np.int32)], 1)
+            m, iou = ours.decode(ours.variables, feats, jnp.asarray(rows_p),
+                                 jnp.asarray(rows_l), multimask_output=multi)
+            np.testing.assert_allclose(np.asarray(iou),
+                                       iou_ref.detach().numpy(),
+                                       atol=2e-3, rtol=2e-2)
+            agree = (np.asarray(m) > 0) == (m_ref.detach().numpy() > 0)
+            assert agree.mean() > 0.99, f"multi={multi}"
+
+
+def test_sam2_facade_prompts():
+    from yolo_sod_tpu.models.sam import SAM
+
+    sam = SAM("sam2_t", img_size=64, embed_dim=16, stages=(1, 1, 1, 1),
+              global_att_blocks=(2,), window_spec=(4, 4, 4, 4),
+              window_pos_embed_bkg_spatial_size=(4, 4))
+    img = (np.random.default_rng(3).random((48, 60, 3)) * 255).astype(np.uint8)
+    res = sam(img, bboxes=[[5, 5, 40, 40], [10, 8, 55, 45]])
+    r = res[0]
+    assert len(r) == 2 and r.masks.data.shape[1:] == (48, 60)

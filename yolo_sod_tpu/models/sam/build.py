@@ -18,21 +18,28 @@ from yolo_sod_tpu.models.sam.predict import SAMPredictor
 
 __all__ = ["SAM", "build_sam"]
 
-_CONFIGS = {  # reference build.py:23-66
+_CONFIGS = {  # reference build.py:23-118
     "sam_b": dict(encoder="vit_b"),
     "sam_l": dict(encoder="vit_l"),
     "sam_h": dict(encoder="vit_h"),
     "mobile_sam": dict(encoder="tiny"),
+    "sam2_t": dict(encoder="sam2"),
+    "sam2_s": dict(encoder="sam2"),
+    "sam2_b": dict(encoder="sam2"),
+    "sam2_l": dict(encoder="sam2"),
 }
 
 
-def build_sam(name: str = "sam_b", img_size: int = 1024,
-              **overrides) -> SAMModel:
-    stem = Path(str(name)).stem.lower().replace("-", "_")
+def build_sam(name: str = "sam_b", img_size: int = 1024, **overrides):
+    stem = Path(str(name)).stem.lower().replace("-", "_").replace(".", "_")
     if stem not in _CONFIGS:
         raise ValueError(f"unknown SAM variant '{name}'; "
                          f"choose from {list(_CONFIGS)}")
     cfg = dict(_CONFIGS[stem])
+    if cfg["encoder"] == "sam2":
+        from yolo_sod_tpu.models.sam.sam2 import SAM2Model
+
+        return SAM2Model(variant=stem, img_size=img_size, **overrides)
     if cfg["encoder"] == "tiny":
         from yolo_sod_tpu.models.sam.tiny_encoder import TinyViT
 

@@ -220,3 +220,100 @@ def convert_sam(torch_sam, depth: int) -> Dict:
         "decoder": {"params": convert_mask_decoder(
             torch_sam.mask_decoder.state_dict())},
     }
+
+
+# ------------------------------------------------------------------- SAM2 --
+
+def convert_hiera(sd: Dict, depth: int) -> Dict:
+    """Reference Hiera state_dict → flax params (sam2.Hiera)."""
+    p = {
+        "patch_embed": {"kernel": _conv(sd["patch_embed.proj.weight"]),
+                        "bias": _t(sd["patch_embed.proj.bias"])},
+        "pos_embed": _t(sd["pos_embed"]).transpose(0, 2, 3, 1),
+        "pos_embed_window": _t(sd["pos_embed_window"]).transpose(0, 2, 3, 1),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        blk = {
+            "norm1": _ln(sd, f"{b}.norm1"), "norm2": _ln(sd, f"{b}.norm2"),
+            "attn": {"qkv": _dense(sd, f"{b}.attn.qkv"),
+                     "proj": _dense(sd, f"{b}.attn.proj")},
+            "mlp_0": _dense(sd, f"{b}.mlp.layers.0"),
+            "mlp_1": _dense(sd, f"{b}.mlp.layers.1"),
+        }
+        if f"{b}.proj.weight" in sd:          # dim-growth skip projection
+            blk["proj"] = _dense(sd, f"{b}.proj")
+        p[f"blocks_{i}"] = blk
+    return p
+
+
+def convert_fpn_neck(sd: Dict, n_levels: int = 4) -> Dict:
+    return {f"convs_{j}": {"kernel": _conv(sd[f"convs.{j}.conv.weight"]),
+                           "bias": _t(sd[f"convs.{j}.conv.bias"])}
+            for j in range(n_levels)}
+
+
+def convert_sam2_mask_decoder(sd: Dict, num_mask_tokens: int = 4) -> Dict:
+    """Reference SAM2MaskDecoder → flax params (sam2.SAM2MaskDecoder).
+    The transformer blocks' 2-layer reference MLP maps onto MLPBlock
+    (layers.0→lin1, layers.1→lin2; ReLU in both)."""
+
+    def twoway_block(b):
+        return {
+            "self_attn": _attention(sd, f"{b}.self_attn"),
+            "cross_attn_token_to_image":
+                _attention(sd, f"{b}.cross_attn_token_to_image"),
+            "cross_attn_image_to_token":
+                _attention(sd, f"{b}.cross_attn_image_to_token"),
+            "norm1": _ln(sd, f"{b}.norm1"), "norm2": _ln(sd, f"{b}.norm2"),
+            "norm3": _ln(sd, f"{b}.norm3"), "norm4": _ln(sd, f"{b}.norm4"),
+            "mlp": {"lin1": _dense(sd, f"{b}.mlp.layers.0"),
+                    "lin2": _dense(sd, f"{b}.mlp.layers.1")},
+        }
+
+    def mlp3(prefix, n=3):
+        return {f"layers_{i}": _dense(sd, f"{prefix}.layers.{i}")
+                for i in range(n)}
+
+    p = {
+        "obj_score_token": _t(sd["obj_score_token.weight"]),
+        "iou_token": _t(sd["iou_token.weight"]),
+        "mask_tokens": _t(sd["mask_tokens.weight"]),
+        "transformer": {
+            **{f"layers_{i}": twoway_block(f"transformer.layers.{i}")
+               for i in range(2)},
+            "final_attn_token_to_image":
+                _attention(sd, "transformer.final_attn_token_to_image"),
+            "norm_final_attn": _ln(sd, "transformer.norm_final_attn"),
+        },
+        "upscale_0": {"kernel": _convT(sd["output_upscaling.0.weight"]),
+                      "bias": _t(sd["output_upscaling.0.bias"])},
+        "upscale_ln": _ln2d(sd, "output_upscaling.1"),
+        "upscale_1": {"kernel": _convT(sd["output_upscaling.3.weight"]),
+                      "bias": _t(sd["output_upscaling.3.bias"])},
+        "iou_head": mlp3("iou_prediction_head"),
+        "obj_head": mlp3("pred_obj_score_head"),
+    }
+    for i in range(num_mask_tokens):
+        p[f"hyper_{i}"] = mlp3(f"output_hypernetworks_mlps.{i}")
+    return p
+
+
+def convert_sam2(torch_sam2, trunk_depth: int) -> Dict:
+    """Reference SAM2Model → our SAM2Model.variables (image path)."""
+    dec_sd = torch_sam2.sam_mask_decoder.state_dict()
+    return {
+        "trunk": {"params": convert_hiera(
+            torch_sam2.image_encoder.trunk.state_dict(), trunk_depth)},
+        "neck": {"params": convert_fpn_neck(
+            torch_sam2.image_encoder.neck.state_dict())},
+        "skips": {"params": {
+            "conv_s0": {"kernel": _conv(dec_sd["conv_s0.weight"]),
+                        "bias": _t(dec_sd["conv_s0.bias"])},
+            "conv_s1": {"kernel": _conv(dec_sd["conv_s1.weight"]),
+                        "bias": _t(dec_sd["conv_s1.bias"])}}},
+        "prompt": {"params": convert_prompt_encoder(
+            torch_sam2.sam_prompt_encoder.state_dict())},
+        "decoder": {"params": convert_sam2_mask_decoder(dec_sd)},
+        "no_mem_embed": _t(torch_sam2.no_mem_embed),
+    }

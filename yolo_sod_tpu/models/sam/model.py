@@ -118,6 +118,18 @@ class SAMModel:
                 lambda v, x: self.encoder.apply(v, x))
         return self._jit_cache[key](variables["encoder"], im)
 
+    def _raw_decode(self, variables, features, points, labels, masks=None,
+                    multimask_output: bool = False):
+        """Pure prompt→(masks, iou) fn, jit-wrapped by decode() and by the
+        predictor's everything-mode chunk graph."""
+        sparse, dense = self.prompt_encoder.apply(
+            variables["prompt"], points, labels, masks=masks)
+        img_pe = self.prompt_encoder.apply(variables["prompt"],
+                                           method="get_dense_pe")
+        return self.mask_decoder.apply(
+            variables["decoder"], features, img_pe, sparse, dense,
+            multimask_output=multimask_output)
+
     def decode(self, variables, features, points, labels, masks=None,
                multimask_output: bool = False):
         """Prompt → masks. points (B, P, 2) model-input pixels, labels (B, P)
@@ -126,17 +138,10 @@ class SAMModel:
         iou (B, m))."""
         key = ("dec", points.shape, masks is not None, multimask_output)
         if key not in self._jit_cache:
-            @partial(jax.jit, static_argnums=())
-            def fn(pv, dv, feat, pts, lbl, msk):
-                sparse, dense = self.prompt_encoder.apply(
-                    pv, pts, lbl, masks=msk)
-                img_pe = self.prompt_encoder.apply(pv, method="get_dense_pe")
-                return self.mask_decoder.apply(
-                    dv, feat, img_pe, sparse, dense,
-                    multimask_output=multimask_output)
-            self._jit_cache[key] = fn
-        return self._jit_cache[key](variables["prompt"], variables["decoder"],
-                                    features, points, labels, masks)
+            self._jit_cache[key] = jax.jit(
+                lambda v, f, p, l, m: self._raw_decode(
+                    v, f, p, l, masks=m, multimask_output=multimask_output))
+        return self._jit_cache[key](variables, features, points, labels, masks)
 
     def info(self):
         n = self.num_params()

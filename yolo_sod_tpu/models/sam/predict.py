@@ -153,13 +153,9 @@ class SAMPredictor:
                 rows_l = jnp.concatenate(
                     [jnp.ones((P, 1), jnp.int32),
                      -jnp.ones((P, 1), jnp.int32)], 1)
-                sparse, dense = model.prompt_encoder.apply(
-                    variables["prompt"], rows_p, rows_l)
-                img_pe = model.prompt_encoder.apply(variables["prompt"],
-                                                    method="get_dense_pe")
-                masks, iou = model.mask_decoder.apply(
-                    variables["decoder"], features, img_pe, sparse, dense,
-                    multimask_output=True)
+                masks, iou = model._raw_decode(variables, features,
+                                               rows_p, rows_l,
+                                               multimask_output=True)
                 masks = masks.reshape(-1, *masks.shape[2:])   # (P*3, s, s)
                 iou = iou.reshape(-1)
                 stab = amg.calculate_stability_score(masks, 0.0, 0.95)
