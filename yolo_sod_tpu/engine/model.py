@@ -209,4 +209,20 @@ class Model:
 
 
 class YOLO(Model):
-    """YOLO entry class (reference models/yolo/model.py:11)."""
+    """YOLO entry class (reference models/yolo/model.py:11). A '-world'
+    model name reroutes to the YOLOWorld facade (reference :15-20) so the
+    text-guided graph gets its World task map instead of the plain one."""
+
+    def __init__(self, model="yolov12-sod-fusion-v5-simple.yaml",
+                 task=None, verbose: bool = False):
+        from pathlib import Path
+
+        stem = Path(str(model)).stem
+        if "-world" in stem:
+            from yolo_sod_tpu.models.world import YOLOWorld
+
+            new = YOLOWorld(str(model), verbose=verbose)
+            self.__class__ = type(new)
+            self.__dict__ = new.__dict__
+        else:
+            super().__init__(model=model, task=task, verbose=verbose)
