@@ -1,0 +1,183 @@
+"""SAM2 video memory stack: RoPE math parity vs the torch reference, bank
+ring-buffer semantics, and end-to-end streaming propagation.
+
+Reference targets: modules/utils.py:74-123 (axial RoPE), modules/sam.py:
+620-783 (memory conditioning), sam/predict.py SAM2VideoPredictor.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolo_sod_tpu.models.sam.memory import (NEG_INF, apply_rope,
+                                            axial_rope_angles, init_bank,
+                                            read_bank, sine_pos_2d,
+                                            write_bank)
+
+from tests import reference_shim as shim
+
+HAVE_REF = shim.install()
+
+
+# ---------------------------------------------------------------------------
+# RoPE math parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference package unavailable")
+def test_axial_rope_matches_reference():
+    import torch
+    from ultralytics.models.sam.modules.utils import (apply_rotary_enc,
+                                                      compute_axial_cis)
+
+    h = w = 4
+    hd = 32
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((1, 1, h * w, hd)).astype(np.float32)
+    k = rng.standard_normal((1, 1, h * w, hd)).astype(np.float32)
+
+    cis = compute_axial_cis(dim=hd, end_x=w, end_y=h)
+    q_t, k_t = apply_rotary_enc(torch.from_numpy(q), torch.from_numpy(k),
+                                freqs_cis=cis)
+
+    ang = jnp.asarray(axial_rope_angles(h, w, hd))
+    q_j = apply_rope(jnp.asarray(q), ang)
+    k_j = apply_rope(jnp.asarray(k), ang)
+    np.testing.assert_allclose(np.asarray(q_j), q_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_j), k_t.numpy(), atol=1e-5)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference package unavailable")
+def test_rope_k_repeat_matches_reference():
+    import torch
+    from ultralytics.models.sam.modules.utils import (apply_rotary_enc,
+                                                      compute_axial_cis)
+
+    h = w = 4
+    hd = 16
+    reps = 3
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((1, 1, h * w, hd)).astype(np.float32)
+    k = rng.standard_normal((1, 1, reps * h * w, hd)).astype(np.float32)
+
+    cis = compute_axial_cis(dim=hd, end_x=w, end_y=h)
+    _, k_t = apply_rotary_enc(torch.from_numpy(q), torch.from_numpy(k),
+                              freqs_cis=cis, repeat_freqs_k=True)
+
+    ang = jnp.asarray(axial_rope_angles(h, w, hd))
+    k_j = apply_rope(jnp.asarray(k), jnp.tile(ang, (reps, 1)))
+    np.testing.assert_allclose(np.asarray(k_j), k_t.numpy(), atol=1e-5)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference package unavailable")
+def test_sine_pos_matches_reference():
+    import torch
+    from ultralytics.models.sam.modules.blocks import PositionEmbeddingSine
+
+    pe = PositionEmbeddingSine(num_pos_feats=64)
+    ref = pe(torch.zeros(1, 64, 6, 5))           # (1, 64, 6, 5) NCHW
+    ours = sine_pos_2d(6, 5, 64).reshape(6, 5, 64).transpose(2, 0, 1)
+    np.testing.assert_allclose(ours, ref[0].numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Bank semantics
+# ---------------------------------------------------------------------------
+
+def test_bank_ring_buffer_semantics():
+    S, D, N = 4, 8, 4          # 4 tokens, mem_dim 8, 4 slots
+    bank = init_bank(1, S, D, hidden_dim=16, num_maskmem=N, max_obj_ptrs=3)
+    mk = lambda v: jnp.full((1, S, D), float(v))
+    pos = jnp.zeros((S, D))
+    ptr = jnp.zeros((1, 16))
+
+    bank = write_bank(bank, mk(100), pos, ptr, jnp.asarray(0), is_cond=True)
+    assert int(bank["frame_idx"][0]) == 0 and int(bank["t"]) == 1
+    # 5 tracked frames through 3 non-cond slots: slots 1,2,3,1,2
+    for f in range(1, 6):
+        bank = write_bank(bank, mk(f), pos, ptr, jnp.asarray(f), is_cond=False)
+    assert int(bank["frame_idx"][0]) == 0          # cond never evicted
+    assert list(np.asarray(bank["frame_idx"][1:])) == [4, 5, 3]
+    assert float(bank["feats"][0, 1, 0, 0]) == 4.0
+    # obj-ptr ring wraps over 3 slots: last writes win
+    assert sorted(np.asarray(bank["ptr_frame_idx"]).tolist()) == [3, 4, 5]
+
+
+def test_read_bank_masks_empty_slots():
+    S, D, N = 4, 8, 4
+    bank = init_bank(1, S, D, hidden_dim=16, num_maskmem=N, max_obj_ptrs=3)
+    bank = write_bank(bank, jnp.ones((1, S, D)), jnp.zeros((S, D)),
+                      jnp.zeros((1, 16)), jnp.asarray(0), is_cond=True)
+    tpos = jnp.zeros((N, D))
+    mem, pos, bias, nptr = read_bank(bank, jnp.asarray(1), tpos,
+                                     lambda t: jnp.zeros((3, D)), D)
+    assert mem.shape == (1, N * S + 3 * 2, D)     # 16/8 = 2 tokens per ptr
+    assert nptr == 6
+    b = np.asarray(bias[0])
+    assert (b[:S] == 0).all()                      # cond slot attendable
+    assert (b[S:N * S] == NEG_INF).all()           # empty slots masked
+    assert (b[N * S:N * S + 2] == 0).all()         # 1 valid ptr -> 2 tokens
+    assert (b[N * S + 2:] == NEG_INF).all()
+
+
+def test_read_bank_temporal_encoding_indices():
+    """Cond slot gets enc[n-1]; a frame t_rel back gets enc[t_rel-1]
+    (reference maskmem_tpos_enc index algebra, sam.py:693-696)."""
+    S, D, N = 2, 4, 4
+    bank = init_bank(1, S, D, hidden_dim=8, num_maskmem=N, max_obj_ptrs=2)
+    z = jnp.zeros((S, D))
+    bank = write_bank(bank, jnp.zeros((1, S, D)), z, jnp.zeros((1, 8)),
+                      jnp.asarray(0), is_cond=True)
+    bank = write_bank(bank, jnp.zeros((1, S, D)), z, jnp.zeros((1, 8)),
+                      jnp.asarray(1), is_cond=False)
+    tpos = jnp.arange(N, dtype=jnp.float32)[:, None] * jnp.ones((N, D))
+    _, pos, _, _ = read_bank(bank, jnp.asarray(2), tpos,
+                             lambda t: jnp.zeros((2, D)), D)
+    p = np.asarray(pos[0])
+    assert (p[:S] == N - 1).all()                  # cond -> enc[3]
+    assert (p[S:2 * S] == 0).all()                 # t_rel=1 -> enc[0]
+
+
+# ---------------------------------------------------------------------------
+# End-to-end streaming propagation
+# ---------------------------------------------------------------------------
+
+def _square_frame(cx: int, cy: int, size: int = 64, half: int = 9):
+    img = np.full((size, size, 3), 30, np.uint8)
+    img[max(0, cy - half):cy + half, max(0, cx - half):cx + half] = 220
+    return img
+
+
+def test_video_predictor_streams_one_compiled_graph():
+    from yolo_sod_tpu.models.sam.sam2 import SAM2Model
+    from yolo_sod_tpu.models.sam.video import SAM2VideoPredictor
+
+    model = SAM2Model(variant="custom", img_size=64, embed_dim=16,
+                      stages=(1, 1, 2, 1), num_heads=1,
+                      global_att_blocks=(3,), window_spec=(4, 4, 4, 4),
+                      window_pos_embed_bkg_spatial_size=(16, 16))
+    model.init()
+    vp = SAM2VideoPredictor(model)
+    vp.init(jax.random.PRNGKey(0))
+
+    mask, iou, obj = vp.add_prompt(_square_frame(32, 32),
+                                   points=[[32, 32]], labels=[1])
+    assert mask.shape == (64, 64) and mask.dtype == bool
+    assert np.isfinite(iou) and np.isfinite(obj)
+    assert int(vp.bank["t"]) == 1
+
+    # 8 tracked frames: bank ring wraps (6 non-cond slots), ONE compiled
+    # track graph serves every frame (static shapes by design).
+    for f in range(1, 9):
+        m, iou, obj = vp.track(_square_frame(32 + 2 * f, 32))
+        assert m.shape == (64, 64)
+        assert np.isfinite(iou) and np.isfinite(obj)
+    assert int(vp.bank["t"]) == 9
+    assert int(vp.bank["frame_idx"][0]) == 0       # cond frame persists
+    assert (np.asarray(vp.bank["frame_idx"][1:]) > 0).all()
+    track_keys = [k for k in vp._jit if k[0] == "track"]
+    assert len(track_keys) == 1
+
+    # reset() starts a fresh object
+    vp.reset()
+    assert vp.bank is None

@@ -19,13 +19,19 @@ __version__ = "0.1.0"
 
 from yolo_sod_tpu.engine.model import YOLO, Model
 
-__all__ = ["YOLO", "Model", "YOLOWorld", "FastSAM", "__version__"]
+__all__ = ["YOLO", "Model", "YOLOWorld", "FastSAM", "NAS", "RTDETR", "SAM",
+           "__version__"]
 
 
 def __getattr__(name):
-    # Lazy family facades (reference `from ultralytics import YOLOWorld, FastSAM`).
-    if name in ("YOLOWorld", "FastSAM"):
+    # Lazy family facades (reference `from ultralytics import YOLOWorld,
+    # FastSAM, NAS, RTDETR, SAM` — ultralytics/__init__.py).
+    if name in ("YOLOWorld", "FastSAM", "NAS", "SAM"):
         from yolo_sod_tpu import models
 
         return getattr(models, name)
+    if name == "RTDETR":
+        from yolo_sod_tpu.engine.rtdetr import RTDETR
+
+        return RTDETR
     raise AttributeError(f"module 'yolo_sod_tpu' has no attribute {name!r}")

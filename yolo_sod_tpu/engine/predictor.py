@@ -96,6 +96,13 @@ class DetectionPredictor:
                 variables)
         self._variables = variables
 
+    @staticmethod
+    def adapt_raw(preds):
+        """Hook for model families whose raw output convention differs from
+        the decode default (NAS emits xyxy — models/nas.NASPredictor).
+        Runs inside the jitted pipeline; must be trace-compatible."""
+        return preds
+
     def _pipeline(self, batch: int, imgsz: int):
         """Build/cache the jitted fused pipeline for a shape bucket."""
         key = (batch, imgsz)
@@ -111,6 +118,7 @@ class DetectionPredictor:
                 x = x.astype(jnp.bfloat16 if args.half else jnp.float32) / 255.0
                 preds = model.predict_augment(variables, x) if augment \
                     else model.predict(variables, x)
+                preds = self.adapt_raw(preds)
                 # conf>=0.25 predict never needs more than ~1k candidates;
                 # the smaller (k, k) suppression matrix saves ~4% e2e.
                 return non_max_suppression(

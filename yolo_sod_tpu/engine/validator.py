@@ -59,10 +59,18 @@ class DetectionValidator:
             def fn(variables, x):
                 preds = model.predict(variables, image_to_compute(
                     x, jnp.bfloat16 if half else jnp.float32))
+                preds = self.postprocess_raw(preds)
                 return non_max_suppression(preds, conf_thres=conf, iou_thres=iou,
                                            multi_label=True, max_det=max_det)
             self._jit_fn = fn
         return self._jit_fn
+
+    @staticmethod
+    def postprocess_raw(preds):
+        """Hook for families whose raw output convention differs from the
+        decode default (NAS emits xyxy — models/nas.NASValidator). Runs
+        inside the jitted val fn; must be trace-compatible."""
+        return preds
 
     def __call__(self, model=None, variables=None, data: Optional[dict] = None):
         args = self.args

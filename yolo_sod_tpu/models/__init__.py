@@ -4,7 +4,8 @@ Lazy imports keep `import yolo_sod_tpu` light; each family lives in its own
 module: world (YOLO-World), fastsam (FastSAM), rtdetr (engine/rtdetr.py).
 """
 
-__all__ = ["YOLOWorld", "WorldTrainer", "FastSAM", "FastSAMPredictor"]
+__all__ = ["YOLOWorld", "WorldTrainer", "FastSAM", "FastSAMPredictor",
+           "NAS", "NASPredictor", "NASValidator", "SAM"]
 
 
 def __getattr__(name):
@@ -16,4 +17,12 @@ def __getattr__(name):
         from yolo_sod_tpu.models import fastsam
 
         return getattr(fastsam, name)
+    if name in ("NAS", "NASPredictor", "NASValidator"):
+        from yolo_sod_tpu.models import nas
+
+        return getattr(nas, name)
+    if name == "SAM":
+        from yolo_sod_tpu.models.sam import SAM
+
+        return SAM
     raise AttributeError(f"module 'yolo_sod_tpu.models' has no attribute {name!r}")

@@ -12,10 +12,11 @@ TPU-native re-expression of the reference SAM2 image path:
 - SAM2Model host object exposing the same encode/decode API as
   model.SAMModel, so predict.SAMPredictor drives both families.
 
-The video memory stack (memory_attention.py, mask-memory bank) is out of
-scope — num_maskmem=0 reproduces SAM-on-images exactly (reference
-sam.py:628-632 skips memory fusion entirely in that case; the no-memory
-embedding is still added, sam.py:759-761).
+The video memory stack lives in memory.py (RoPE memory attention, memory
+encoder, fixed-shape bank) and video.py (SAM2VideoPredictor); this module is
+the per-image path — num_maskmem=0 semantics (reference sam.py:628-632 skips
+memory fusion in that case; the no-memory embedding is still added,
+sam.py:759-761).
 
 Hiera's background positional embedding is resized with a numpy
 re-implementation of torch's bicubic (a=-0.75, align_corners=False) so
@@ -239,7 +240,8 @@ class SAM2MaskDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt,
-                 high_res_features, multimask_output: bool = False):
+                 high_res_features, multimask_output: bool = False,
+                 return_token: bool = False):
         D = self.transformer_dim
         obj_token = self.param("obj_score_token",
                                nn.initializers.normal(1.0), (1, D))
@@ -281,6 +283,12 @@ class SAM2MaskDecoder(nn.Module):
         obj_logits = MLP(1, D, name="obj_head")(obj_out)
 
         if multimask_output:
+            if return_token:
+                # token of the best-IoU mask: the video path's obj_ptr source
+                # (reference sam.py:507-511 sam_output_token selection)
+                bi = jnp.argmax(iou_pred[:, 1:], axis=-1) + 1
+                tok = jnp.take_along_axis(mask_out, bi[:, None, None], 1)[:, 0]
+                return masks[:, 1:], iou_pred[:, 1:], obj_logits, tok
             return masks[:, 1:], iou_pred[:, 1:], obj_logits
         # dynamic single-mask fallback: if the single-mask token is unstable,
         # take the best multimask candidate (reference :456-497)
@@ -296,6 +304,10 @@ class SAM2MaskDecoder(nn.Module):
         stable = (stability(masks[:, 0]) >= self.stability_thresh)[:, None]
         out_m = jnp.where(stable[..., None, None], masks[:, 0:1], bm)
         out_i = jnp.where(stable, iou_pred[:, 0:1], bi)
+        if return_token:
+            bt = jnp.take_along_axis(mask_out, best[:, None, None], 1)[:, 0]
+            tok = jnp.where(stable, mask_out[:, 0], bt)
+            return out_m, out_i, obj_logits, tok
         return out_m, out_i, obj_logits
 
 

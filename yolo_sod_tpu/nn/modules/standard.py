@@ -13,6 +13,7 @@ conv.py/block.py:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Tuple
 
 import jax
@@ -20,7 +21,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolo_sod_tpu.nn.modules.block import Bottleneck, C3
-from yolo_sod_tpu.nn.modules.conv import BN_EPS, BN_MOMENTUM, ConvBNAct, DWConv
+from yolo_sod_tpu.nn.modules.conv import (BN_EPS, BN_MOMENTUM, ConvBNAct,
+                                          DWConv, autopad)
 
 
 class Attention(nn.Module):
@@ -151,10 +153,31 @@ class C3x(C3):
     shortcut: bool = True
 
 
+_REP_DEPLOY = False
+
+
+@contextlib.contextmanager
+def rep_deploy(enabled: bool = True):
+    """Trace-time switch: RepConv instantiates its single fused 3x3 instead
+    of the train branches. Used together with the checkpoint transform
+    `utils/reparam.fuse_rep_variables` (reference RepConv.fuse_convs
+    conv.py:228-286). Only affects tracing — wrap the apply/jit call."""
+    global _REP_DEPLOY
+    prev = _REP_DEPLOY
+    _REP_DEPLOY = bool(enabled)
+    try:
+        yield
+    finally:
+        _REP_DEPLOY = prev
+
+
 class RepConv(nn.Module):
     """RepVGG-style conv: 3x3 + 1x1 (+BN identity) branches at train time
     (reference conv.py:174). Branches stay separate here; XLA fuses the
-    elementwise sum, and deploy-time fusion is a checkpoint transform."""
+    elementwise sum. Deploy-time fusion is the checkpoint transform
+    `utils/reparam.fuse_rep_variables` applied under `rep_deploy()`, which
+    swaps the trace to a single biased 3x3 (kills two reads of the input
+    activation map — an HBM-traffic win, not just an op-count one)."""
 
     c1: int
     c2: int
@@ -164,6 +187,12 @@ class RepConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if _REP_DEPLOY:
+            p = autopad(self.k)
+            y = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                        padding=[(p, p), (p, p)], use_bias=True,
+                        name="fused")(x)
+            return jax.nn.silu(y) if self.act else y
         y1 = ConvBNAct(self.c1, self.c2, self.k, self.s, act=False, name="conv1")(x, train)
         y2 = ConvBNAct(self.c1, self.c2, 1, self.s, act=False, name="conv2")(x, train)
         y = y1 + y2

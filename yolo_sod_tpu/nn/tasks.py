@@ -16,6 +16,7 @@ TPU-native re-expression of reference ultralytics/nn/tasks.py:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import math
 import os
@@ -50,7 +51,8 @@ _MULTI_INPUT = {"Concat", "Add", "ScaleAdd", "HyperACEBlock", "CA_FPN_Block",
 # Modules that consume the text-guide side input (YOLO-World vocabulary).
 _GUIDE_CONSUMERS = {"C2fAttn", "WorldDetect"}
 # Spatial effect of a module on the cumulative downsample factor.
-_DOWNSAMPLE_BY_S = {"Conv", "DWConv", "GhostConv", "Focus"}  # factor = arg s (Focus: 2*s)
+_DOWNSAMPLE_BY_S = {"Conv", "DWConv", "GhostConv", "Focus",
+                    "RepConv"}  # factor = arg s (Focus: 2*s)
 
 
 def make_divisible(x, divisor: int = 8):
@@ -465,14 +467,44 @@ class DetectionModel:
         leaves = jax.tree_util.tree_leaves(self.variables["params"])
         return int(sum(np.prod(l.shape) for l in leaves))
 
+    # -- deploy-time reparameterization ---------------------------------------
+    def fuse(self):
+        """Fold every RepConv's train branches into one biased 3x3
+        (reference BaseModel.fuse tasks.py:201-227 + RepConv.fuse_convs
+        conv.py:228-286). A checkpoint transform here: params are rewritten
+        by utils/reparam.fuse_rep_variables and subsequent traces run under
+        `rep_deploy()` so the graph instantiates the single fused conv.
+        No-op (and cheap) when the graph contains no RepConv."""
+        from yolo_sod_tpu.utils.reparam import fuse_rep_variables
+
+        if getattr(self, "_rep_deploy", False):
+            return self
+        if self.variables is None:
+            self.init()
+        fused, n = fuse_rep_variables(self.variables)
+        if n:
+            self.variables = fused
+            self._rep_deploy = True
+            LOGGER.info(f"fused {n} RepConv blocks to deploy form")
+        return self
+
+    def _deploy_ctx(self):
+        from yolo_sod_tpu.nn.modules.standard import rep_deploy
+
+        return rep_deploy(True) if getattr(self, "_rep_deploy", False) \
+            else contextlib.nullcontext()
+
     # -- compute paths -------------------------------------------------------
     def apply(self, variables, x, train: bool = False, active_mask=None,
               mutable: bool = False):
         """Raw forward: returns per-level head maps (train format)."""
-        if mutable:
-            return self.net.apply(variables, x, train=train, active_mask=active_mask,
-                                  mutable=["batch_stats"])
-        return self.net.apply(variables, x, train=train, active_mask=active_mask)
+        with self._deploy_ctx():
+            if mutable:
+                return self.net.apply(variables, x, train=train,
+                                      active_mask=active_mask,
+                                      mutable=["batch_stats"])
+            return self.net.apply(variables, x, train=train,
+                                  active_mask=active_mask)
 
     def predict(self, variables, x):
         """Inference forward + decode → (B, A, 4+nc) with pixel xywh boxes.
@@ -483,7 +515,8 @@ class DetectionModel:
         decode their detect part (extra outputs via apply())."""
         head = self.graph.specs[self.graph.detect_index].name \
             if self.graph.detect_index >= 0 else "Detect"
-        out = self.net.apply(variables, x, train=False)
+        with self._deploy_ctx():
+            out = self.net.apply(variables, x, train=False)
         if head == "RTDETRDecoder":
             h, w = x.shape[1], x.shape[2]
             scale = jnp.array([w, h, w, h], out.dtype)
@@ -668,6 +701,35 @@ class OBBModel(DetectionModel):
                  nc: Optional[int] = None, verbose: bool = False):
         super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
         self.task = "obb"
+
+
+class NASModel(DetectionModel):
+    """YOLO-NAS-style detector (reference models/nas/model.py:26 NAS wraps a
+    super-gradients net whose forward emits *decoded xyxy boxes + class
+    scores*; the NASPredictor/NASValidator then convert and NMS,
+    predict.py:35-48, val.py:38-50).
+
+    TPU-native re-expression: the architecture itself is a YAML graph built
+    from reparameterizable RepConv stages (`cfg/models/yolo-nas-s.yaml` —
+    super-gradients' QARepVGG stage recipe) and the NDFL-style DFL head our
+    decode already speaks; `predict()` honors the family's output contract by
+    emitting xyxy pixel boxes instead of xywh. `fuse()` (inherited) is the
+    deploy-time reparameterization that defines this family.
+    """
+
+    def __init__(self, cfg="yolo-nas-s.yaml", ch: int = 3,
+                 nc: Optional[int] = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+        self.task = "detect"
+
+    def predict(self, variables, x):
+        """(B, A, 4+nc) with **xyxy** pixel boxes + sigmoid scores — the
+        super-gradients output convention the reference NAS predictor
+        consumes (reference nas/predict.py:37: `preds_in[0][0]` is xyxy)."""
+        with self._deploy_ctx():
+            out = self.net.apply(variables, x, train=False)
+        return decode_detections(out, self.graph.detect_strides, self.nc,
+                                 xywh=False)
 
 
 _HEAD2TASK = {"Segment": "segment", "Pose": "pose", "OBB": "obb",
