@@ -181,3 +181,79 @@ def test_video_predictor_streams_one_compiled_graph():
     # reset() starts a fresh object
     vp.reset()
     assert vp.bank is None
+
+
+# ---------------------------------------------------------------------------
+# Shared-weight torch parity: MemoryAttention / MemoryEncoder
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference package unavailable")
+def test_memory_attention_torch_parity():
+    import torch
+    from ultralytics.models.sam.modules.memory_attention import (
+        MemoryAttention as RefMA, MemoryAttentionLayer as RefLayer)
+
+    from yolo_sod_tpu.models.sam.convert import convert_memory_attention
+    from yolo_sod_tpu.models.sam.memory import MemoryAttention
+
+    torch.manual_seed(0)
+    ref = RefMA(d_model=256, pos_enc_at_input=True,
+                layer=RefLayer(), num_layers=2).eval()
+
+    s, S = 4, 16                      # square current grid (RoPE recompute)
+    n_spatial, n_ptr = 2 * S, 4       # 2 memory frames + 4 ptr tokens
+    rng = np.random.default_rng(0)
+    curr = rng.standard_normal((S, 1, 256)).astype(np.float32)
+    cpos = rng.standard_normal((S, 1, 256)).astype(np.float32)
+    mem = rng.standard_normal((n_spatial + n_ptr, 1, 64)).astype(np.float32)
+    mpos = rng.standard_normal((n_spatial + n_ptr, 1, 64)).astype(np.float32)
+
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(curr), torch.from_numpy(mem),
+                    torch.from_numpy(cpos), torch.from_numpy(mpos),
+                    num_obj_ptr_tokens=n_ptr)          # (S, 1, 256)
+
+    ours = MemoryAttention(d_model=256, num_layers=2, kv_in_dim=64)
+    variables = convert_memory_attention(ref, num_layers=2)
+    out_j = ours.apply(variables,
+                       jnp.asarray(curr.transpose(1, 0, 2)),
+                       jnp.asarray(cpos.transpose(1, 0, 2)),
+                       jnp.asarray(mem.transpose(1, 0, 2)),
+                       jnp.asarray(mpos.transpose(1, 0, 2)),
+                       (s, s), num_obj_ptr_tokens=n_ptr)
+    np.testing.assert_allclose(np.asarray(out_j)[0],
+                               out_t.numpy().transpose(1, 0, 2)[0],
+                               atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference package unavailable")
+def test_memory_encoder_torch_parity():
+    import torch
+    from ultralytics.models.sam.modules.encoders import MemoryEncoder as RefME
+
+    from yolo_sod_tpu.models.sam.convert import convert_memory_encoder
+    from yolo_sod_tpu.models.sam.memory import MemoryEncoder
+
+    torch.manual_seed(1)
+    ref = RefME(out_dim=64).eval()
+    rng = np.random.default_rng(2)
+    pix = rng.standard_normal((1, 256, 8, 8)).astype(np.float32)
+    mask = rng.standard_normal((1, 1, 128, 128)).astype(np.float32)
+
+    with torch.no_grad():
+        out = ref(torch.from_numpy(pix), torch.from_numpy(mask),
+                  skip_mask_sigmoid=True)
+        feat_t = out["vision_features"].numpy()        # (1, 64, 8, 8)
+        pos_t = out["vision_pos_enc"][-1].numpy()      # (1, 64, 8, 8)
+
+    ours = MemoryEncoder(out_dim=64, in_dim=256)
+    variables = convert_memory_encoder(ref)
+    feat_j = ours.apply(variables,
+                        jnp.asarray(pix.transpose(0, 2, 3, 1)),
+                        jnp.asarray(mask.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(feat_j).transpose(0, 3, 1, 2),
+                               feat_t, atol=2e-4, rtol=1e-3)
+    # spatial pos enc of the memory tokens matches the reference's
+    np.testing.assert_allclose(
+        sine_pos_2d(8, 8, 64).reshape(8, 8, 64).transpose(2, 0, 1),
+        pos_t[0], atol=1e-5)

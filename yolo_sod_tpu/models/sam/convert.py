@@ -317,3 +317,61 @@ def convert_sam2(torch_sam2, trunk_depth: int) -> Dict:
         "decoder": {"params": convert_sam2_mask_decoder(dec_sd)},
         "no_mem_embed": _t(torch_sam2.no_mem_embed),
     }
+
+
+def convert_memory_attention(torch_ma, num_layers: int = 4) -> Dict:
+    """Reference MemoryAttention (memory_attention.py:140) → memory.MemoryAttention params."""
+    sd = torch_ma.state_dict()
+    params: Dict = {"norm": _ln(sd, "norm")}
+    for i in range(num_layers):
+        p = f"layers.{i}"
+        params[f"layers_{i}"] = {
+            "self_attn": _attention(sd, f"{p}.self_attn"),
+            "cross_attn_image": _attention(sd, f"{p}.cross_attn_image"),
+            "linear1": _dense(sd, f"{p}.linear1"),
+            "linear2": _dense(sd, f"{p}.linear2"),
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "norm3": _ln(sd, f"{p}.norm3"),
+        }
+    return {"params": params}
+
+
+def convert_memory_encoder(torch_me) -> Dict:
+    """Reference MemoryEncoder (encoders.py:378) → memory.MemoryEncoder params.
+
+    The torch mask_downsampler.encoder is a flat Sequential
+    [conv, LN2d, GELU] * k + final 1x1; CXBlock pwconvs are nn.Linear."""
+    sd = torch_me.state_dict()
+    conv_idx = sorted({int(k.split(".")[2]) for k in sd
+                       if k.startswith("mask_downsampler.encoder.")
+                       and k.endswith(".weight")
+                       and sd[k].ndim == 4})
+    down = conv_idx[:-1]
+    params: Dict = {"mask_downsampler": {}}
+    md = params["mask_downsampler"]
+    for j, ci in enumerate(down):
+        md[f"down_{j}"] = {
+            "kernel": _conv(sd[f"mask_downsampler.encoder.{ci}.weight"]),
+            "bias": _t(sd[f"mask_downsampler.encoder.{ci}.bias"])}
+        md[f"ln_{j}"] = _ln2d(sd, f"mask_downsampler.encoder.{ci + 1}")
+    last = conv_idx[-1]
+    md["out"] = {"kernel": _conv(sd[f"mask_downsampler.encoder.{last}.weight"]),
+                 "bias": _t(sd[f"mask_downsampler.encoder.{last}.bias"])}
+    params["pix_feat_proj"] = {
+        "kernel": _conv(sd["pix_feat_proj.weight"]),
+        "bias": _t(sd["pix_feat_proj.bias"])}
+    for i in range(2):
+        p = f"fuser.layers.{i}"
+        params[f"fuser_{i}"] = {
+            "dwconv": {"kernel": _conv(sd[f"{p}.dwconv.weight"]),
+                       "bias": _t(sd[f"{p}.dwconv.bias"])},
+            "norm": _ln2d(sd, f"{p}.norm"),
+            "pwconv1": _dense(sd, f"{p}.pwconv1"),
+            "pwconv2": _dense(sd, f"{p}.pwconv2"),
+            "gamma": _t(sd[f"{p}.gamma"]),
+        }
+    if "out_proj.weight" in sd and sd["out_proj.weight"].ndim == 4:
+        params["out_proj"] = {"kernel": _conv(sd["out_proj.weight"]),
+                              "bias": _t(sd["out_proj.bias"])}
+    return {"params": params}

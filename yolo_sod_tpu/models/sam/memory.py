@@ -190,7 +190,8 @@ class MemoryAttention(nn.Module):
     @nn.compact
     def __call__(self, curr, curr_pos, memory, memory_pos, q_hw,
                  num_obj_ptr_tokens: int = 0, k_bias=None):
-        x = curr
+        # SAM2 builds with pos_enc_at_input=True (memory_attention.py:208-210)
+        x = curr + 0.1 * curr_pos
         for i in range(self.num_layers):
             x = MemoryAttentionLayer(self.d_model, kv_in_dim=self.kv_in_dim,
                                      name=f"layers_{i}")(
