@@ -70,6 +70,19 @@ def test_rope_k_repeat_matches_reference():
 
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference package unavailable")
+def test_sine_pe_1d_matches_reference():
+    import torch
+    from ultralytics.models.sam.modules.utils import get_1d_sine_pe
+
+    from yolo_sod_tpu.models.sam.memory import sine_pe_1d
+
+    t = np.asarray([0.0, 0.25, 1.0, 7.0], np.float32)
+    ref = get_1d_sine_pe(torch.from_numpy(t), dim=64)
+    ours = sine_pe_1d(jnp.asarray(t), 64)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference package unavailable")
 def test_sine_pos_matches_reference():
     import torch
     from ultralytics.models.sam.modules.blocks import PositionEmbeddingSine

@@ -70,9 +70,11 @@ def sine_pos_2d(h: int, w: int, dim: int, temperature: float = 10000.0,
 
 def sine_pe_1d(t: jax.Array, dim: int, temperature: float = 10000.0):
     """(N,) scalar positions -> (N, dim) sine embedding (reference
-    modules/utils.py get_1d_sine_pe)."""
+    modules/utils.py get_1d_sine_pe: paired-frequency exponent
+    2*(i//2)/half, then cat(sin, cos))."""
     half = dim // 2
-    inv = temperature ** (jnp.arange(half, dtype=jnp.float32) / half)
+    i = jnp.arange(half, dtype=jnp.float32)
+    inv = temperature ** (2.0 * jnp.floor(i / 2.0) / half)
     ang = t[..., None] / inv
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 

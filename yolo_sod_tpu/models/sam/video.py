@@ -17,11 +17,16 @@ TPU-native design (vs the reference's python dict-of-frames):
   one SPMD-friendly batched graph (the reference loops objects in python).
 
 SAM2.1 behaviors kept: sigmoid(x)*20-10 mask scaling for the memory encoder
-(sam.py:808-813), occlusion-aware no-object memory blending (sam.py:818-824),
-object pointers split into mem_dim tokens with sine temporal encoding
-(sam.py:735-749), no-memory embedding on conditioning frames (sam.py:759-761).
-Simplified: exactly one conditioning frame (ultralytics' video predictor
-prompts one frame per object); temporal stride r=1.
+(sam.py:808-813), HARD occlusion-aware no-object memory blending —
+is_obj = (obj_logits > 0), not sigmoid (sam.py:822-826) — NO_OBJ_SCORE=-1024
+hard-masks all masks when occluded (sam.py:24,498-501), the no-object pointer
+blend with fixed_no_obj_ptr=True / soft_no_obj_ptr=False (sam.py:525-536),
+multimask output during tracking with best-IoU mask+token selection
+(sam.py:973-981 _use_multimask, build.py:286-289), object pointers split into
+mem_dim tokens with sine temporal encoding (sam.py:735-749), no-memory
+embedding on conditioning frames (sam.py:759-761). Simplified: exactly one
+conditioning frame (ultralytics' video predictor prompts one frame per
+object); temporal stride r=1.
 """
 
 from __future__ import annotations
@@ -43,6 +48,7 @@ MEM_DIM = 64
 HIDDEN = 256
 SIGMOID_SCALE = 20.0        # sam.py sigmoid_scale_for_mem_enc
 SIGMOID_BIAS = -10.0        # sam.py sigmoid_bias_for_mem_enc
+NO_OBJ_SCORE = -1024.0      # sam.py:24 — hard mask value when occluded
 
 
 class _PtrTposProj(nn.Module):
@@ -106,11 +112,15 @@ class SAM2VideoPredictor:
         pp = self.obj_ptr_proj.init(r3, jnp.zeros((1, HIDDEN)))
         pt = self.ptr_tpos.init(r4, jnp.zeros((self.max_obj_ptrs,)))
         tpos = jax.random.normal(r5, (self.num_maskmem, MEM_DIM)) * 0.02
-        no_obj = jax.random.normal(r6, (MEM_DIM,)) * 0.02
+        k6, k7 = jax.random.split(r6)
+        no_obj = jax.random.normal(k6, (MEM_DIM,)) * 0.02
+        # fixed_no_obj_ptr=True -> learned no-object pointer (sam.py:307-312)
+        no_obj_ptr = jax.random.normal(k7, (HIDDEN,)) * 0.02
         self.variables = {"model": self.model.variables, "mem_attn": ma,
                           "mem_enc": me, "ptr_proj": pp, "ptr_tpos": pt,
                           "maskmem_tpos_enc": tpos,
-                          "no_obj_embed_spatial": no_obj}
+                          "no_obj_embed_spatial": no_obj,
+                          "no_obj_ptr": no_obj_ptr}
         return self.variables
 
     # -- pure step pieces --------------------------------------------------------
@@ -132,9 +142,31 @@ class SAM2VideoPredictor:
             multimask_output=multimask, return_token=True)
         return masks, iou, obj, tok
 
+    def _sam_heads(self, vars_, embed, skips, points, labels, multimask: bool):
+        """Decode + SAM2.1 occlusion handling (sam.py:498-536): when
+        obj_logits <= 0 all mask logits are hard-set to NO_OBJ_SCORE, and the
+        object pointer is HARD-blended with the learned no_obj_ptr
+        (fixed_no_obj_ptr=True, soft_no_obj_ptr=False in every SAM2 build).
+        With multimask, the best-IoU mask/token is selected (sam.py:507-516;
+        use_multimask_token_for_obj_ptr=True)."""
+        v = vars_["model"]
+        masks, iou, obj, tok = self._decode(v, embed, skips, points, labels,
+                                            multimask)
+        is_obj = obj > 0.0                                    # (B, 1)
+        masks = jnp.where(is_obj[..., None, None], masks, NO_OBJ_SCORE)
+        if multimask:
+            best = jnp.argmax(iou, axis=-1)
+            masks = jnp.take_along_axis(masks, best[:, None, None, None], 1)
+            iou = jnp.take_along_axis(iou, best[:, None], 1)
+        obj_ptr = self.obj_ptr_proj.apply(vars_["ptr_proj"], tok)
+        lam = is_obj.astype(obj_ptr.dtype)
+        obj_ptr = lam * obj_ptr + (1.0 - lam) * vars_["no_obj_ptr"]
+        return masks, iou, obj, obj_ptr
+
     def _encode_memory(self, vars_, pix_feat, mask_logits, obj_logits):
-        """Predicted mask + raw features -> mem_dim memory map, with the
-        occlusion-aware no-object blend (sam.py:808-824)."""
+        """Predicted mask + raw features -> mem_dim memory map, with the HARD
+        occlusion-aware no-object blend — is_obj = (logits > 0), not sigmoid
+        (sam.py:822-826)."""
         S_img = self.model.img_size
         B = mask_logits.shape[0]
         hi = jax.image.resize(mask_logits.astype(jnp.float32),
@@ -142,7 +174,7 @@ class SAM2VideoPredictor:
         hi = hi[:, 0, :, :, None]                             # (B, S, S, 1)
         mask_for_mem = jax.nn.sigmoid(hi) * SIGMOID_SCALE + SIGMOID_BIAS
         mem = self.mem_enc.apply(vars_["mem_enc"], pix_feat, mask_for_mem)
-        is_obj = jax.nn.sigmoid(obj_logits)                   # (B, 1)
+        is_obj = (obj_logits > 0.0).astype(jnp.float32)       # (B, 1)
         mem = mem + (1.0 - is_obj)[..., None, None] * \
             vars_["no_obj_embed_spatial"]
         return mem.reshape(B, -1, MEM_DIM)
@@ -152,17 +184,14 @@ class SAM2VideoPredictor:
         v = vars_["model"]
         pix, skips = self._encode_raw(v, x)
         embed = pix + v["no_mem_embed"].reshape(1, 1, 1, -1)  # sam.py:759-761
-        masks, iou, obj, tok = self._decode(v, embed, skips, points, labels,
-                                            multimask=True)
-        # best-IoU mask is the conditioning output (sam.py:507-516)
-        best = jnp.argmax(iou, axis=-1)
-        bm = jnp.take_along_axis(masks, best[:, None, None, None], 1)
-        bi = jnp.take_along_axis(iou, best[:, None], 1)
-        obj_ptr = self.obj_ptr_proj.apply(vars_["ptr_proj"], tok)
-        mem = self._encode_memory(vars_, pix, bm, obj)
+        # 1 click on an init cond frame -> multimask (sam.py:973-981)
+        masks, iou, obj, obj_ptr = self._sam_heads(vars_, embed, skips,
+                                                   points, labels,
+                                                   multimask=True)
+        mem = self._encode_memory(vars_, pix, masks, obj)
         bank = write_bank(bank, mem, self._spatial_pos, obj_ptr,
                           jnp.zeros((), jnp.int32), is_cond=True)
-        return bm[:, 0], bi[:, 0], obj[:, 0], bank
+        return masks[:, 0], iou[:, 0], obj[:, 0], bank
 
     def _track_step(self, vars_, x, bank):
         v = vars_["model"]
@@ -179,12 +208,13 @@ class SAM2VideoPredictor:
                                    mem_pos, (s, s), num_obj_ptr_tokens=nptr,
                                    k_bias=k_bias)
         embed = cond.reshape(B, s, s, HIDDEN)
-        # propagation decodes promptless: one padding point (label -1)
+        # propagation decodes promptless: one padding point (label -1);
+        # multimask_output_for_tracking=True (build.py:286-289) -> multimask
+        # with best-IoU selection even on tracked frames
         pts = jnp.zeros((B, 1, 2), jnp.float32)
         lbl = jnp.full((B, 1), -1, jnp.int32)
-        masks, iou, obj, tok = self._decode(v, embed, skips, pts, lbl,
-                                            multimask=False)
-        obj_ptr = self.obj_ptr_proj.apply(vars_["ptr_proj"], tok)
+        masks, iou, obj, obj_ptr = self._sam_heads(vars_, embed, skips, pts,
+                                                   lbl, multimask=True)
         mem = self._encode_memory(vars_, pix, masks, obj)
         bank = write_bank(bank, mem, self._spatial_pos, obj_ptr, frame_idx,
                           is_cond=False)
