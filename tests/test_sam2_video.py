@@ -196,6 +196,29 @@ def test_video_predictor_streams_one_compiled_graph():
     assert vp.bank is None
 
 
+def test_sam_facade_video_tracking():
+    """SAM('sam2_*').track(...) routes to the video predictor (reference
+    exposes SAM2VideoPredictor through the same models.sam namespace)."""
+    from yolo_sod_tpu.models.sam import SAM, SAM2VideoPredictor
+
+    sam = SAM("sam2_t", img_size=64, embed_dim=16, stages=(1, 1, 2, 1),
+              num_heads=1, global_att_blocks=(3,), window_spec=(4, 4, 4, 4),
+              window_pos_embed_bkg_spatial_size=(16, 16))
+    # first call without points is an error
+    with pytest.raises(ValueError, match="points"):
+        sam.track(_square_frame(32, 32))
+    mask, iou, obj = sam.track(_square_frame(32, 32), points=[[32, 32]])
+    assert isinstance(sam.video_predictor, SAM2VideoPredictor)
+    assert mask.shape == (64, 64)
+    m2, iou2, obj2 = sam.track(_square_frame(34, 32))
+    assert m2.shape == (64, 64) and np.isfinite(iou2)
+    sam.reset_video()
+    assert sam.video_predictor.bank is None
+    # SAM1 variants have no memory stack
+    with pytest.raises(ValueError, match="SAM2"):
+        SAM("sam_b", img_size=64).track(_square_frame(1, 1))
+
+
 # ---------------------------------------------------------------------------
 # Shared-weight torch parity: MemoryAttention / MemoryEncoder
 # ---------------------------------------------------------------------------

@@ -10,4 +10,15 @@ encoders.py:283-289 — so padding is semantically exact, not an approximation).
 from yolo_sod_tpu.models.sam.build import SAM, build_sam
 from yolo_sod_tpu.models.sam.predict import SAMPredictor
 
-__all__ = ["SAM", "build_sam", "SAMPredictor"]
+
+def __getattr__(name):
+    # lazy: the video stack pulls in the full SAM2 module tree
+    if name == "SAM2VideoPredictor":
+        from yolo_sod_tpu.models.sam.video import SAM2VideoPredictor
+
+        return SAM2VideoPredictor
+    raise AttributeError(
+        f"module 'yolo_sod_tpu.models.sam' has no attribute {name!r}")
+
+
+__all__ = ["SAM", "build_sam", "SAMPredictor", "SAM2VideoPredictor"]

@@ -68,6 +68,7 @@ class SAM:
         self.model = build_sam(model, img_size=img_size, **overrides)
         self.task = "segment"
         self.predictor: Optional[SAMPredictor] = None
+        self.video_predictor = None
 
     def predict(self, source=None, stream: bool = False, bboxes=None,
                 points=None, labels=None, **kwargs):
@@ -79,6 +80,43 @@ class SAM:
 
     def __call__(self, source=None, **kwargs):
         return self.predict(source, **kwargs)
+
+    def track(self, frame, points=None, labels=None, **kwargs):
+        """Video object segmentation (SAM2 variants only; reference
+        sam/predict.py SAM2VideoPredictor via model.predict(stream=True)).
+
+        First call must carry `points` (+ optional `labels`, default
+        foreground) — it prompts the object on a conditioning frame.
+        Subsequent calls propagate through the memory bank:
+
+            sam = SAM("sam2_t")
+            mask, iou, obj = sam.track(frame0, points=[[x, y]])
+            for f in frames:
+                mask, iou, obj = sam.track(f)
+        """
+        from yolo_sod_tpu.models.sam.sam2 import SAM2Model
+
+        if not isinstance(self.model, SAM2Model):
+            raise ValueError("video tracking requires a SAM2 variant "
+                             "(sam2_t/s/b/l); SAM1 has no memory stack")
+        if self.video_predictor is None:
+            from yolo_sod_tpu.models.sam.video import SAM2VideoPredictor
+
+            self.video_predictor = SAM2VideoPredictor(self.model, **kwargs)
+        vp = self.video_predictor
+        if points is not None:
+            if labels is None:
+                labels = [1] * len(points)
+            return vp.add_prompt(frame, points=points, labels=labels)
+        if vp.bank is None:
+            raise ValueError("first track() call must include `points` to "
+                             "prompt the object")
+        return vp.track(frame)
+
+    def reset_video(self):
+        """Drop the tracked object's memory bank (start a new video)."""
+        if self.video_predictor is not None:
+            self.video_predictor.reset()
 
     def info(self):
         return self.model.info()
