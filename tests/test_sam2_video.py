@@ -293,3 +293,125 @@ def test_memory_encoder_torch_parity():
     np.testing.assert_allclose(
         sine_pos_2d(8, 8, 64).reshape(8, 8, 64).transpose(2, 0, 1),
         pos_t[0], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# FULL video track_step torch parity (shared weights, 1 cond + 2 track frames)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference package unavailable")
+def test_sam2_video_track_step_torch_parity():
+    """End-to-end video parity: the same random frames through the reference
+    SAM2Model.track_step chain (forward_image → _prepare_backbone_features →
+    track_step with a python output_dict, sam.py:915) and through our jitted
+    cond/track steps with a fixed-shape memory bank. Shared weights via
+    convert_sam2_video. Asserts mask logits, IoU, object scores, object
+    pointers, and encoded memory features agree per frame — this certifies
+    the whole memory-conditioning path (RoPE memory attention, temporal
+    encodings, obj-ptr tokens, occlusion blends) in one shot."""
+    import torch
+    from ultralytics.models.sam.modules.encoders import (FpnNeck, Hiera,
+                                                         ImageEncoder,
+                                                         MemoryEncoder)
+    from ultralytics.models.sam.modules.memory_attention import (
+        MemoryAttention as RefMA, MemoryAttentionLayer)
+    from ultralytics.models.sam.modules.sam import SAM2Model as RefSAM2
+
+    from yolo_sod_tpu.models.sam.convert import convert_sam2_video
+    from yolo_sod_tpu.models.sam.sam2 import SAM2Model
+    from yolo_sod_tpu.models.sam.video import SAM2VideoPredictor
+
+    torch.manual_seed(0)
+    trunk = Hiera(embed_dim=16, num_heads=1, stages=(1, 1, 2, 1),
+                  global_att_blocks=(3,), window_spec=(4, 4, 4, 4),
+                  window_pos_embed_bkg_spatial_size=(16, 16))
+    neck = FpnNeck(d_model=256, backbone_channel_list=[128, 64, 32, 16],
+                   fpn_top_down_levels=[2, 3], fpn_interp_model="nearest")
+    ref = RefSAM2(
+        image_encoder=ImageEncoder(trunk=trunk, neck=neck, scalp=1),
+        memory_attention=RefMA(d_model=256, pos_enc_at_input=True,
+                               num_layers=4, layer=MemoryAttentionLayer()),
+        memory_encoder=MemoryEncoder(out_dim=64),
+        num_maskmem=7, image_size=64,
+        sigmoid_scale_for_mem_enc=20.0, sigmoid_bias_for_mem_enc=-10.0,
+        use_mask_input_as_output_without_sam=True,
+        directly_add_no_mem_embed=True, use_high_res_features_in_sam=True,
+        multimask_output_in_sam=True, iou_prediction_use_sigmoid=True,
+        use_obj_ptrs_in_encoder=True, add_tpos_enc_to_obj_ptrs=True,
+        only_obj_ptrs_in_the_past_for_eval=True, pred_obj_scores=True,
+        pred_obj_scores_mlp=True, fixed_no_obj_ptr=True,
+        multimask_output_for_tracking=True,
+        use_multimask_token_for_obj_ptr=True,
+        multimask_min_pt_num=0, multimask_max_pt_num=1,
+        use_mlp_for_obj_ptr_proj=True, no_obj_embed_spatial=True,
+        proj_tpos_enc_in_obj_ptrs=True, use_signed_tpos_enc_to_obj_ptrs=True,
+        sam_mask_decoder_extra_args=dict(
+            dynamic_multimask_via_stability=True,
+            dynamic_multimask_stability_delta=0.05,
+            dynamic_multimask_stability_thresh=0.98)).eval()
+    ref.binarize_mask_from_pts_for_mem_enc = True   # predict.py:874
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.02)
+
+    ours_model = SAM2Model(variant="custom", img_size=64, embed_dim=16,
+                           stages=(1, 1, 2, 1), num_heads=1,
+                           global_att_blocks=(3,), window_spec=(4, 4, 4, 4),
+                           window_pos_embed_bkg_spatial_size=(16, 16))
+    vp = SAM2VideoPredictor(ours_model, num_maskmem=7, max_obj_ptrs=16)
+    vp.variables = convert_sam2_video(ref, trunk_depth=5)
+    ours_model.variables = vp.variables["model"]
+
+    rng = np.random.default_rng(7)
+    frames = [rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+              for _ in range(3)]
+    pts = np.array([[[30.0, 30.0]]], np.float32)
+    lbl = np.array([[1]], np.int32)
+
+    # -- reference drive ----------------------------------------------------
+    od = {"cond_frame_outputs": {}, "non_cond_frame_outputs": {}}
+    ref_outs = []
+    with torch.no_grad():
+        for t, x in enumerate(frames):
+            xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+            bo = ref.forward_image(xt)
+            _, vf, vp_pos, fs = ref._prepare_backbone_features(bo)
+            pi = ({"point_coords": torch.from_numpy(pts),
+                   "point_labels": torch.from_numpy(lbl)} if t == 0 else None)
+            out = ref.track_step(t, t == 0, vf, vp_pos, fs, pi, None, od,
+                                 num_frames=16)
+            (od["cond_frame_outputs"] if t == 0
+             else od["non_cond_frame_outputs"])[t] = out
+            ref_outs.append(out)
+
+    # -- our drive ----------------------------------------------------------
+    bank = init_bank(1, 16, 64, 256, num_maskmem=7, max_obj_ptrs=16)
+    m0, i0, o0, bank = vp._cond_step(vp.variables, jnp.asarray(frames[0]),
+                                     jnp.asarray(pts), jnp.asarray(lbl), bank)
+    ours_outs = [(m0, i0, o0)]
+    for x in frames[1:]:
+        m, i, o, bank = vp._track_step(vp.variables, jnp.asarray(x), bank)
+        ours_outs.append((m, i, o))
+
+    for t, (ref_out, (m, i, o)) in enumerate(zip(ref_outs, ours_outs)):
+        mask_ref = ref_out["pred_masks"][:, 0].numpy()        # (1, 16, 16)
+        obj_ref = ref_out["object_score_logits"][:, 0].numpy()
+        np.testing.assert_allclose(np.asarray(o), obj_ref,
+                                   atol=5e-3, rtol=2e-2, err_msg=f"t={t} obj")
+        agree = ((np.asarray(m) > 0) == (mask_ref > 0)).mean()
+        assert agree > 0.99, f"t={t} mask sign agreement {agree}"
+        np.testing.assert_allclose(np.asarray(m), mask_ref, atol=0.05,
+                                   rtol=5e-2, err_msg=f"t={t} mask logits")
+        # the memory written for this frame: spatial features + obj pointer
+        # live in the bank at deterministic slots (write_bank ring algebra)
+        mem_ref = ref_out["maskmem_features"].numpy()         # (1, 64, 4, 4)
+        mem_slot = 0 if t == 0 else 1 + (t - 1) % 6
+        np.testing.assert_allclose(
+            np.asarray(bank["feats"][0, mem_slot]).reshape(4, 4, 64)
+            .transpose(2, 0, 1), mem_ref[0],
+            atol=5e-3, rtol=2e-2, err_msg=f"t={t} mem")
+        ptr_ref = ref_out["obj_ptr"].numpy()                  # (1, 256)
+        np.testing.assert_allclose(np.asarray(bank["ptrs"][0, t % 16]),
+                                   ptr_ref[0], atol=5e-3, rtol=2e-2,
+                                   err_msg=f"t={t} obj_ptr")

@@ -375,3 +375,27 @@ def convert_memory_encoder(torch_me) -> Dict:
         params["out_proj"] = {"kernel": _conv(sd["out_proj.weight"]),
                               "bias": _t(sd["out_proj.bias"])}
     return {"params": params}
+
+
+def convert_sam2_video(torch_sam2, trunk_depth: int) -> Dict:
+    """FULL reference SAM2Model (image stack + memory stack, sam.py:165-390
+    parameter inventory) → SAM2VideoPredictor.variables (video.py).
+
+    Covers: image stack (convert_sam2), MemoryAttention, MemoryEncoder,
+    obj_ptr_proj (3-layer MLP, use_mlp_for_obj_ptr_proj=True),
+    obj_ptr_tpos_proj (proj_tpos_enc_in_obj_ptrs=True), maskmem_tpos_enc
+    (squeezed from (N,1,1,D)), no_obj_embed_spatial and no_obj_ptr
+    (SAM2.1 / fixed_no_obj_ptr=True parameters)."""
+    sd = torch_sam2.state_dict()
+    return {
+        "model": convert_sam2(torch_sam2, trunk_depth),
+        "mem_attn": convert_memory_attention(torch_sam2.memory_attention),
+        "mem_enc": convert_memory_encoder(torch_sam2.memory_encoder),
+        "ptr_proj": {"params": {
+            f"layers_{i}": _dense(sd, f"obj_ptr_proj.layers.{i}")
+            for i in range(3)}},
+        "ptr_tpos": {"params": {"proj": _dense(sd, "obj_ptr_tpos_proj")}},
+        "maskmem_tpos_enc": _t(sd["maskmem_tpos_enc"])[:, 0, 0, :],
+        "no_obj_embed_spatial": _t(sd["no_obj_embed_spatial"])[0],
+        "no_obj_ptr": _t(sd["no_obj_ptr"])[0],
+    }

@@ -134,7 +134,15 @@ class SAM2VideoPredictor:
         return fpn[2], (s0, s1)
 
     def _decode(self, v, embed, skips, points, labels, multimask: bool):
+        """The reference prompt encoder appends one padding point (label -1)
+        whenever boxes are absent (encoders.py pad=True); match it so the
+        decoder sees the same token count."""
         m = self.model
+        B = points.shape[0]
+        points = jnp.concatenate(
+            [points, jnp.zeros((B, 1, 2), points.dtype)], axis=1)
+        labels = jnp.concatenate(
+            [labels, jnp.full((B, 1), -1, labels.dtype)], axis=1)
         sparse, dense = m.prompt_encoder.apply(v["prompt"], points, labels)
         img_pe = m.prompt_encoder.apply(v["prompt"], method="get_dense_pe")
         masks, iou, obj, tok = m.mask_decoder.apply(
@@ -163,16 +171,20 @@ class SAM2VideoPredictor:
         obj_ptr = lam * obj_ptr + (1.0 - lam) * vars_["no_obj_ptr"]
         return masks, iou, obj, obj_ptr
 
-    def _encode_memory(self, vars_, pix_feat, mask_logits, obj_logits):
+    def _encode_memory(self, vars_, pix_feat, mask_logits, obj_logits,
+                       binarize: bool = False):
         """Predicted mask + raw features -> mem_dim memory map, with the HARD
         occlusion-aware no-object blend — is_obj = (logits > 0), not sigmoid
-        (sam.py:822-826)."""
+        (sam.py:822-826). `binarize` matches the video predictor's
+        set_binarize(True) on point-interacted frames (predict.py:874,
+        sam.py:804-813): (mask > 0) instead of sigmoid."""
         S_img = self.model.img_size
         B = mask_logits.shape[0]
         hi = jax.image.resize(mask_logits.astype(jnp.float32),
                               (B, 1, S_img, S_img), method="bilinear")
         hi = hi[:, 0, :, :, None]                             # (B, S, S, 1)
-        mask_for_mem = jax.nn.sigmoid(hi) * SIGMOID_SCALE + SIGMOID_BIAS
+        prob = (hi > 0).astype(jnp.float32) if binarize else jax.nn.sigmoid(hi)
+        mask_for_mem = prob * SIGMOID_SCALE + SIGMOID_BIAS
         mem = self.mem_enc.apply(vars_["mem_enc"], pix_feat, mask_for_mem)
         is_obj = (obj_logits > 0.0).astype(jnp.float32)       # (B, 1)
         mem = mem + (1.0 - is_obj)[..., None, None] * \
@@ -188,7 +200,7 @@ class SAM2VideoPredictor:
         masks, iou, obj, obj_ptr = self._sam_heads(vars_, embed, skips,
                                                    points, labels,
                                                    multimask=True)
-        mem = self._encode_memory(vars_, pix, masks, obj)
+        mem = self._encode_memory(vars_, pix, masks, obj, binarize=True)
         bank = write_bank(bank, mem, self._spatial_pos, obj_ptr,
                           jnp.zeros((), jnp.int32), is_cond=True)
         return masks[:, 0], iou[:, 0], obj[:, 0], bank
