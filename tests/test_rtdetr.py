@@ -106,3 +106,25 @@ def test_rtdetr_training_route(tmp_path):
     assert trainer.tloss is not None and np.isfinite(trainer.tloss).all()
     assert len(trainer.tloss) == 3          # giou, cls, l1
     assert trainer.metrics is not None
+
+
+def test_rtdetr_validator_nms_free(model):
+    """RTDETRValidator keeps ALL queries without NMS, sorted by confidence
+    (reference models/rtdetr/val.py:96-114 postprocess doctrine)."""
+    from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+    from yolo_sod_tpu.engine.rtdetr import RTDETRValidator
+
+    v = RTDETRValidator(args=get_cfg(DEFAULT_CFG_DICT,
+                                     {"imgsz": 64, "half": False}))
+    fn = v._build_fn(model, conf=0.001, iou=0.7, max_det=300)
+    x = jnp.asarray(np.random.default_rng(1).random((2, 64, 64, 3)) * 255,
+                    jnp.uint8)
+    det, n = fn(model.variables, x)
+    det = np.asarray(det)
+    nq = model.predict(model.variables, jnp.zeros((2, 64, 64, 3))).shape[1]
+    k = min(300, nq)
+    assert det.shape == (2, k, 6) and (np.asarray(n) == k).all()
+    conf = det[..., 4]
+    assert (np.diff(conf, axis=1) <= 1e-6).all()          # sorted desc
+    assert det[..., 5].min() >= 0 and det[..., 5].max() <= 4
+    assert det[..., :4].min() >= -1e3 and np.isfinite(det).all()

@@ -31,6 +31,43 @@ from yolo_sod_tpu.ops.boxes import bbox_iou, xywh2xyxy
 from yolo_sod_tpu.utils.ema import ema_update
 
 
+class RTDETRValidator:
+    """NMS-free evaluation (reference models/rtdetr/val.py:96-114): RT-DETR's
+    Q queries ARE the final predictions — keep them all (no conf threshold,
+    no NMS), best class per query, confidence-sorted, pixel xyxy. Built as a
+    DetectionValidator with only the jitted postprocess swapped."""
+
+    def __new__(cls, args=None, **kwargs):
+        from yolo_sod_tpu.engine.validator import DetectionValidator
+
+        class _Impl(DetectionValidator):
+            def _build_fn(self, model, conf, iou, max_det):
+                if self._jit_fn is None:
+                    half = self.args.half
+
+                    @jax.jit
+                    def fn(variables, x):
+                        preds = model.predict(variables, image_to_compute(
+                            x, jnp.bfloat16 if half else jnp.float32))
+                        preds = self.postprocess_raw(preds)
+                        boxes = xywh2xyxy(preds[..., :4].astype(jnp.float32))
+                        scores = preds[..., 4:].astype(jnp.float32)
+                        confs = scores.max(-1)
+                        c = jnp.argmax(scores, -1).astype(jnp.float32)
+                        k = min(max_det, confs.shape[1])
+                        top_c, idx = jax.lax.top_k(confs, k)
+                        det = jnp.concatenate(
+                            [jnp.take_along_axis(boxes, idx[..., None], 1),
+                             top_c[..., None],
+                             jnp.take_along_axis(c, idx, 1)[..., None]], -1)
+                        n = jnp.full((det.shape[0],), k, jnp.int32)
+                        return det, n
+                    self._jit_fn = fn
+                return self._jit_fn
+
+        return _Impl(args=args, **kwargs)
+
+
 class RTDETRTrainer(DetectionTrainer):
     """Train an RTDETRDecoder-head model end to end."""
 
@@ -51,6 +88,9 @@ class RTDETRTrainer(DetectionTrainer):
     def build_criterion(self, nc: int):
         return HungarianMatcher(cost_gain=self.loss_gain, use_fl=self.use_fl,
                                 alpha=self.alpha, gamma=self.gamma)
+
+    def get_validator(self, vargs):
+        return RTDETRValidator(args=vargs)
 
     def _compile_step(self):
         model, tx = self.model, self.tx
@@ -185,7 +225,8 @@ class RTDETR:
             @property
             def task_map(self):
                 tm = super().task_map
-                tm["detect"] = dict(tm["detect"], trainer=RTDETRTrainer)
+                tm["detect"] = dict(tm["detect"], trainer=RTDETRTrainer,
+                                    validator=RTDETRValidator)
                 return tm
 
         return _RTDETRModel(model, **kwargs)
