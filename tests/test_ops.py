@@ -234,3 +234,73 @@ def test_image_to_compute_matches_host_normalize():
     # float input passes through with a cast only
     f = jax.jit(lambda x: image_to_compute(x, jnp.float32))(jnp.asarray(host))
     np.testing.assert_array_equal(np.asarray(f), host)
+
+
+# ---------------------------------------------------------------------------
+# Format-conversion long tail: parity vs reference utils/ops.py
+# ---------------------------------------------------------------------------
+
+from tests import reference_shim as _shim  # noqa: E402
+
+HAVE_REF = _shim.install()
+
+
+def test_box_format_conversion_roundtrips():
+    from yolo_sod_tpu.ops import (ltwh2xywh, ltwh2xyxy, xywh2ltwh, xywh2xyxy,
+                                  xyxy2ltwh, xyxy2xywh)
+
+    rng = np.random.default_rng(0)
+    xywh = np.abs(rng.standard_normal((32, 4)).astype(np.float32)) + \
+        np.array([10, 10, 1, 1], np.float32)
+    np.testing.assert_allclose(np.asarray(ltwh2xywh(xywh2ltwh(xywh))), xywh,
+                               atol=1e-5)
+    xyxy = np.asarray(xywh2xyxy(xywh))
+    np.testing.assert_allclose(np.asarray(ltwh2xyxy(xyxy2ltwh(xyxy))), xyxy,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xyxy2xywh(xyxy)), xywh, atol=1e-5)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference package unavailable")
+def test_format_converters_match_reference():
+    import torch
+    from ultralytics.utils import ops as rops
+
+    from yolo_sod_tpu.ops import (crop_mask, ltwh2xyxy, regularize_rboxes,
+                                  segment2box, segments2boxes, xywh2ltwh,
+                                  xywhr2xyxyxyxy)
+
+    rng = np.random.default_rng(1)
+    xywh = np.abs(rng.standard_normal((16, 4)).astype(np.float32)) + \
+        np.array([20, 20, 2, 2], np.float32)
+    np.testing.assert_allclose(np.asarray(xywh2ltwh(xywh)),
+                               rops.xywh2ltwh(torch.from_numpy(xywh)).numpy(),
+                               atol=1e-5)
+    ltwh = np.asarray(xywh2ltwh(xywh))
+    np.testing.assert_allclose(np.asarray(ltwh2xyxy(ltwh)),
+                               rops.ltwh2xyxy(torch.from_numpy(ltwh)).numpy(),
+                               atol=1e-5)
+    # rotated-rect corners
+    r = np.concatenate([xywh[:, :2] * 4, xywh[:, 2:] + 3,
+                        rng.uniform(0, np.pi / 2, (16, 1)).astype(np.float32)],
+                       -1)
+    np.testing.assert_allclose(np.asarray(xywhr2xyxyxyxy(r)),
+                               rops.xywhr2xyxyxyxy(torch.from_numpy(r)).numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(regularize_rboxes(r)),
+        rops.regularize_rboxes(torch.from_numpy(r)).numpy(), atol=1e-5)
+    # mask crop
+    masks = rng.random((4, 32, 32)).astype(np.float32)
+    boxes = np.array([[2, 3, 20, 25], [0, 0, 32, 32],
+                      [5, 5, 6, 6], [10, 0, 30, 16]], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(crop_mask(jnp.asarray(masks), jnp.asarray(boxes))),
+        rops.crop_mask(torch.from_numpy(masks),
+                       torch.from_numpy(boxes)).numpy(), atol=1e-6)
+    # polygons
+    seg = rng.uniform(-5, 70, (12, 2)).astype(np.float32)
+    np.testing.assert_allclose(segment2box(seg, 64, 64),
+                               rops.segment2box(seg, 64, 64), atol=1e-5)
+    np.testing.assert_allclose(
+        segments2boxes([seg, seg * 0.5]),
+        rops.segments2boxes([seg, seg * 0.5]), atol=1e-4)

@@ -183,3 +183,65 @@ def test_scale_masks_np_roundtrip():
     out = scale_masks_np(m, (h0, w0), imgsz)
     assert out.shape == (1, h0, w0)
     assert out.mean() > 0.95                  # covers (almost) everything
+
+
+def test_world_trainer_from_scratch_grounding(tmp_path):
+    """Open-set route (reference train_world.py): yolo data + grounding JSON
+    concat-train with per-image text vocabularies embedded per batch."""
+    import json
+
+    import yaml
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    # -- yolo-data dataset (also serves as val) ------------------------------
+    root = tmp_path / "ds"
+    (root / "images/train").mkdir(parents=True)
+    (root / "labels/train").mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8), "RGB") \
+            .save(root / f"images/train/{i}.jpg")
+        (root / f"labels/train/{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    data = {"path": str(root), "train": "images/train", "val": "images/train",
+            "names": {0: "widget", 1: "gadget"}}
+    (root / "data.yaml").write_text(yaml.safe_dump(data))
+
+    # -- grounding dataset ----------------------------------------------------
+    gdir = tmp_path / "grounding"
+    gdir.mkdir()
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8), "RGB") \
+            .save(gdir / f"g{i}.jpg")
+    cap = "a red ball next to a blue cube"
+    gj = {"images": [{"id": i, "file_name": f"g{i}.jpg", "height": 64,
+                      "width": 64, "caption": cap} for i in range(2)],
+          "annotations": [
+              {"id": 1, "image_id": 0, "bbox": [8, 8, 20, 20],
+               "tokens_positive": [[2, 10]]},          # "red ball"
+              {"id": 2, "image_id": 0, "bbox": [30, 30, 24, 20],
+               "tokens_positive": [[21, 30]]},         # "blue cube"
+              {"id": 3, "image_id": 1, "bbox": [10, 12, 30, 28],
+               "tokens_positive": [[2, 10]]}]}
+    (gdir / "ann.json").write_text(json.dumps(gj))
+
+    from yolo_sod_tpu.data import GroundingDataset, YOLOConcatDataset
+    from yolo_sod_tpu.models.world import WorldTrainerFromScratch
+
+    gds = GroundingDataset(str(gdir / "ann.json"), str(gdir), imgsz=64)
+    assert len(gds) == 2
+    it = gds[0]
+    assert it["texts"] == ["red ball", "blue cube"]
+    assert len(it["labels"]) == 2 and set(it["labels"][:, 0]) == {0.0, 1.0}
+
+    spec = dict(train=dict(yolo_data=[str(root / "data.yaml")],
+                           grounding_data=[dict(img_path=str(gdir),
+                                                json_file=str(gdir / "ann.json"))]),
+                val=dict(yolo_data=[str(root / "data.yaml")]))
+    tr = WorldTrainerFromScratch(overrides=dict(
+        model="yolov8n-world.yaml", data=spec, epochs=1, imgsz=64, batch=2,
+        val=False, plots=False, save=False, workers=0, mosaic=0.0,
+        warmup_epochs=0, project=str(tmp_path / "runs")))
+    tr.train()
+    assert isinstance(tr.trainset, YOLOConcatDataset)
+    assert len(tr.trainset) == 4
+    assert tr.model.nc == 2                      # val dataset vocabulary

@@ -81,6 +81,10 @@ def collate(items: list[dict], max_boxes: int) -> dict:
         "im_file": [it["im_file"] for it in items],
         "ori_shape": [it["ori_shape"] for it in items],
         "ratio_pad": [it["ratio_pad"] for it in items],
+        # multi-modal (YOLO-World) items carry a per-image text vocabulary;
+        # stays a python list — the trainer embeds + pads it host-side
+        **({"texts": [it.get("texts", []) for it in items]}
+           if "texts" in items[0] else {}),
     }
 
 
@@ -175,9 +179,56 @@ class DataLoader:
         pass  # iteration state is per-__iter__; nothing cached across epochs
 
 
+class YOLOConcatDataset:
+    """Concatenation of datasets sharing the item contract (reference
+    train_world.py:64 YOLOConcatDataset). Index space is the datasets laid
+    end to end; epoch/mosaic-close/max-boxes fan out to every child."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._cum = np.cumsum([len(d) for d in self.datasets])
+        self.rect_shapes = None          # train-only: square canvas
+
+    def __len__(self):
+        return int(self._cum[-1]) if len(self.datasets) else 0
+
+    def __getitem__(self, index: int) -> dict:
+        d = int(np.searchsorted(self._cum, index, side="right"))
+        j = index - (int(self._cum[d - 1]) if d else 0)
+        return self.datasets[d][int(j)]
+
+    def set_epoch(self, epoch: int):
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
+
+    def close_mosaic(self):
+        for d in self.datasets:
+            d.close_mosaic()
+
+    def max_boxes(self, **kw) -> int:
+        return max(d.max_boxes(**kw) for d in self.datasets)
+
+
+def build_grounding(cfg, img_path: str, json_file: str, batch: int,
+                    stride: int = 32, seed: int = 0):
+    """Grounding-caption dataset from a COCO-grounding JSON (call-site
+    contract: reference train_world.py:61)."""
+    from yolo_sod_tpu.data.grounding import GroundingDataset
+
+    get = (cfg.get if isinstance(cfg, dict)
+           else lambda k, d=None: getattr(cfg, k, d))
+    hyp = cfg if isinstance(cfg, dict) else vars(cfg).copy() \
+        if hasattr(cfg, "__dict__") else dict(cfg)
+    return GroundingDataset(json_file, img_path, imgsz=get("imgsz", 640),
+                            hyp=hyp, stride=stride, seed=seed,
+                            cache=get("cache", False))
+
+
 def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train",
                        stride: int = 32, seed: int = 0,
-                       task: str = "detect") -> YOLODataset:
+                       task: str = "detect",
+                       multi_modal: bool = False) -> YOLODataset:
     """Construct a YOLODataset from the flat cfg namespace (reference contract).
 
     Pose extras (kpt_shape, flip_idx) come from the dataset yaml dict, the
@@ -203,6 +254,8 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         flip_idx=data.get("flip_idx"),
         cache=(cfg.get("cache", False) if isinstance(cfg, dict)
                else getattr(cfg, "cache", False)),
+        multi_modal=multi_modal,
+        names=data.get("names"),
     )
 
 

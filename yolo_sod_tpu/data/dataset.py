@@ -36,7 +36,13 @@ class YOLODataset:
                  single_cls: bool = False, fraction: float = 1.0,
                  nc: Optional[int] = None, seed: int = 0,
                  task: str = "detect", mask_ratio: int = 4, cache=False,
-                 kpt_shape=(17, 3), flip_idx=None):
+                 kpt_shape=(17, 3), flip_idx=None,
+                 multi_modal: bool = False, names=None):
+        # multi_modal: each item also carries `texts` — the class-name
+        # vocabulary its cls ids index (reference world/train.py:68
+        # build_yolo_dataset(..., multi_modal=True) contract).
+        self.multi_modal = multi_modal
+        self.names = dict(names) if names else None
         self.img_path = img_path
         self.imgsz = imgsz
         self.augment = augment
@@ -88,13 +94,19 @@ class YOLODataset:
             for lb in self.labels:
                 lb[:, 0] = 0
         self.seed = seed
+        self._post_init(cache)
+
+    def _post_init(self, cache):
+        """Shared init tail (also used by GroundingDataset, which builds its
+        file/label lists from a JSON instead of a labels/ tree)."""
         self.epoch = 0   # bumped by the loader; salts per-item RNG
         self.cache = "ram" if cache in (True, "ram", "True") else None
         self._im_cache = [None] * len(self.im_files) if self.cache else None
         self.rect_shapes = self._compute_rect_shapes() \
             if (self.rect and not self.augment) else None
         n_boxes = sum(len(l) for l in self.labels)
-        LOGGER.info(f"dataset: {len(self.im_files)} images, {n_boxes} boxes ({img_path})")
+        LOGGER.info(f"dataset: {len(self.im_files)} images, {n_boxes} boxes "
+                    f"({self.img_path})")
 
     def _compute_rect_shapes(self, granularity: int = 64):
         """Aspect-grouped letterbox targets, quantized to a bounded bucket set.
@@ -344,7 +356,17 @@ class YOLODataset:
             **({"masks": item_masks} if item_masks is not None else {}),
             **({"keypoints": item_kpts} if item_kpts is not None else {}),
             **({"angles": item_angles} if item_angles is not None else {}),
+            **({"texts": self._item_texts(index)} if self.multi_modal else {}),
         }
+
+    def _item_texts(self, index: int) -> list:
+        """Vocabulary this item's cls ids index: the global class names
+        ("person/human" keeps its first variant, reference world/train.py:16).
+        GroundingDataset overrides with per-image caption phrases."""
+        if self.names:
+            return [str(self.names.get(i, i)).split("/")[0]
+                    for i in range(len(self.names))]
+        return [str(i) for i in range(int(self.nc or 0))]
 
     def close_mosaic(self):
         """Zero out mosaic/mixup/copy_paste (reference _close_dataloader_mosaic)."""

@@ -127,6 +127,21 @@ class DetectionTrainer:
 
         return DetectionValidator(args=vargs)
 
+    def get_dataset(self) -> dict:
+        """Resolve args.data into the data dict (reference BaseTrainer
+        get_dataset hook; WorldTrainerFromScratch overrides with the
+        multi-dataset open-vocab spec)."""
+        return check_det_dataset(self.args.data)
+
+    def build_dataset(self, img_path, mode: str = "train", batch=None):
+        """Build the training dataset for one resolved path (reference
+        DetectionTrainer.build_dataset hook)."""
+        stride = int(max(self.model.stride))
+        return build_yolo_dataset(vars(self.args), img_path, batch or
+                                  self.args.batch, self.data, mode=mode,
+                                  stride=stride, seed=self.args.seed,
+                                  task=self.task)
+
     def preprocess_batch(self, batch: dict) -> dict:
         """Last hook before the device batch ships (reference
         BaseTrainer.preprocess_batch). WorldTrainer attaches the
@@ -152,7 +167,7 @@ class DetectionTrainer:
         # Model.
         if self.model is None:
             self.model = self.model_class()(args.model or self.default_model())
-        self.data = check_det_dataset(args.data)
+        self.data = self.get_dataset()
         nc = self.data["nc"]
         if nc != self.model.nc:
             LOGGER.info(f"rebuilding model head for nc={nc}")
@@ -162,10 +177,8 @@ class DetectionTrainer:
             self.model.init(rng=jax.random.PRNGKey(args.seed), imgsz=args.imgsz)
 
         # Data.
-        stride = int(max(self.model.stride))
-        self.trainset = build_yolo_dataset(vars(args), self.data["train"], args.batch,
-                                           self.data, mode="train", stride=stride,
-                                           seed=args.seed, task=self.task)
+        self.trainset = self.build_dataset(self.data["train"], mode="train",
+                                           batch=args.batch)
         self.train_loader = build_dataloader(self.trainset, int(args.batch),
                                              shuffle=True, seed=args.seed)
         self.nb = len(self.train_loader)  # batches per epoch

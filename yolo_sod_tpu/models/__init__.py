@@ -4,12 +4,12 @@ Lazy imports keep `import yolo_sod_tpu` light; each family lives in its own
 module: world (YOLO-World), fastsam (FastSAM), rtdetr (engine/rtdetr.py).
 """
 
-__all__ = ["YOLOWorld", "WorldTrainer", "FastSAM", "FastSAMPredictor",
-           "NAS", "NASPredictor", "NASValidator", "SAM"]
+__all__ = ["YOLOWorld", "WorldTrainer", "WorldTrainerFromScratch", "FastSAM",
+           "FastSAMPredictor", "NAS", "NASPredictor", "NASValidator", "SAM"]
 
 
 def __getattr__(name):
-    if name in ("YOLOWorld", "WorldTrainer"):
+    if name in ("YOLOWorld", "WorldTrainer", "WorldTrainerFromScratch"):
         from yolo_sod_tpu.models import world
 
         return getattr(world, name)

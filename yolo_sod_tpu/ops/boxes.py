@@ -193,3 +193,181 @@ def probiou(obb1, obb2, eps: float = 1e-7):
     bd = jnp.clip(t1 + t3, eps, 100.0)
     hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
     return 1.0 - hd
+
+
+# -- format-conversion long tail (reference utils/ops.py:395-720) ------------
+# np/jnp-agnostic where possible; host-side consumers (trackers, writers,
+# dataset converters) pass numpy, jitted callers pass jnp.
+
+def xywh2ltwh(x):
+    """(cx, cy, w, h) → (x1, y1, w, h) top-left form (ops.py:470)."""
+    cx, cy, w, h = jnp.split(jnp.asarray(x), 4, axis=-1)
+    return jnp.concatenate([cx - w / 2, cy - h / 2, w, h], axis=-1)
+
+
+def ltwh2xywh(x):
+    """(x1, y1, w, h) → (cx, cy, w, h) (ops.py:502)."""
+    x1, y1, w, h = jnp.split(jnp.asarray(x), 4, axis=-1)
+    return jnp.concatenate([x1 + w / 2, y1 + h / 2, w, h], axis=-1)
+
+
+def xyxy2ltwh(x):
+    """(x1, y1, x2, y2) → (x1, y1, w, h) (ops.py:486)."""
+    x1, y1, x2, y2 = jnp.split(jnp.asarray(x), 4, axis=-1)
+    return jnp.concatenate([x1, y1, x2 - x1, y2 - y1], axis=-1)
+
+
+def ltwh2xyxy(x):
+    """(x1, y1, w, h) → (x1, y1, x2, y2) (ops.py:576)."""
+    x1, y1, w, h = jnp.split(jnp.asarray(x), 4, axis=-1)
+    return jnp.concatenate([x1, y1, x1 + w, y1 + h], axis=-1)
+
+
+def xyxyxyxy2xywhr(corners):
+    """(*, 4, 2) rotated-rect corner points → (*, 5) cx, cy, w, h, rad
+    (ops.py:518 semantics via the same minimum-area-rect regularization the
+    data layer uses). Host-side numpy."""
+    import numpy as np
+
+    from yolo_sod_tpu.data.utils import poly2xywhr
+
+    pts = np.asarray(corners, np.float32).reshape(-1, 4, 2)
+    out = np.stack([np.asarray(poly2xywhr(p), np.float32) for p in pts])
+    return out.reshape(*np.asarray(corners).shape[:-2], 5)
+
+
+def xywhr2xyxyxyxy(rboxes):
+    """(*, 5) cx, cy, w, h, rad → (*, 4, 2) corner points (ops.py:546)."""
+    import numpy as np
+
+    r = np.asarray(rboxes, np.float32)
+    cx, cy, w, h, ang = [r[..., i] for i in range(5)]
+    cos, sin = np.cos(ang), np.sin(ang)
+    dx1, dy1 = (w / 2) * cos, (w / 2) * sin
+    dx2, dy2 = -(h / 2) * sin, (h / 2) * cos
+    c = np.stack([np.stack([cx + dx1 + dx2, cy + dy1 + dy2], -1),
+                  np.stack([cx + dx1 - dx2, cy + dy1 - dy2], -1),
+                  np.stack([cx - dx1 - dx2, cy - dy1 - dy2], -1),
+                  np.stack([cx - dx1 + dx2, cy - dy1 + dy2], -1)], axis=-2)
+    return c
+
+
+def regularize_rboxes(rboxes):
+    """Swap w/h so w >= h and wrap the angle into [0, pi/2)
+    (ops.py:804). Works on np or jnp arrays."""
+    x, y, w, h, t = jnp.split(jnp.asarray(rboxes), 5, axis=-1)
+    w_ = jnp.where(w > h, w, h)
+    h_ = jnp.where(w > h, h, w)
+    t = jnp.where(w > h, t, t + math.pi / 2) % math.pi
+    return jnp.concatenate([x, y, w_, h_, t], axis=-1)
+
+
+def segment2box(segment, width: float, height: float):
+    """Polygon (N, 2) → xyxy box over the in-image points; clip first only
+    when >= 3 sides overflow (reference ops.py:64-89 exactly). Host numpy."""
+    import numpy as np
+
+    s = np.asarray(segment, np.float32)
+    x, y = s[:, 0], s[:, 1]
+    n_out = int(x.min() < 0) + int(y.min() < 0) + int(x.max() > width) + \
+        int(y.max() > height)
+    if n_out >= 3:
+        x = x.clip(0, width)
+        y = y.clip(0, height)
+    inside = (x >= 0) & (y >= 0) & (x <= width) & (y <= height)
+    x, y = x[inside], y[inside]
+    if not len(x):
+        return np.zeros(4, np.float32)
+    return np.asarray([x.min(), y.min(), x.max(), y.max()], np.float32)
+
+
+def segments2boxes(segments):
+    """List of polygons → (N, 4) normalized xywh boxes (ops.py:592)."""
+    import numpy as np
+
+    boxes = []
+    for s in segments:
+        s = np.asarray(s, np.float32)
+        boxes.append([s[:, 0].min(), s[:, 1].min(),
+                      s[:, 0].max(), s[:, 1].max()])
+    b = np.asarray(boxes, np.float32) if boxes else np.zeros((0, 4), np.float32)
+    return np.asarray(xyxy2xywh(b)) if len(b) else b
+
+
+def resample_segments(segments, n: int = 1000):
+    """Up/resample each closed polygon to n points by linear interpolation
+    (ops.py:606)."""
+    import numpy as np
+
+    out = []
+    for s in segments:
+        s = np.asarray(s, np.float32)
+        s = np.concatenate([s, s[0:1]], axis=0)        # close the ring
+        x = np.linspace(0, len(s) - 1, n - len(s) if n - len(s) > 0 else n)
+        xp = np.arange(len(s))
+        rs = np.stack([np.interp(x, xp, s[:, i]) for i in range(2)], -1)
+        out.append(np.concatenate([rs, s[:-1]] if n - len(s) > 0 else [rs])
+                   .astype(np.float32))
+    return out
+
+
+def crop_mask(masks, boxes):
+    """Zero mask pixels outside each box (reference ops.py:627 crop_mask).
+    masks (N, H, W), boxes (N, 4) xyxy in mask pixels. jnp, jit-safe."""
+    n, h, w = masks.shape
+    x1, y1, x2, y2 = jnp.split(jnp.asarray(boxes)[:, :, None], 4, axis=1)
+    r = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    c = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    keep = (r >= x1) & (r < x2) & (c >= y1) & (c < y2)
+    return masks * keep.astype(masks.dtype)
+
+
+def scale_image(masks, im0_shape, ratio_pad=None):
+    """Un-letterbox an (H, W, C) image/mask back to im0_shape
+    (ops.py:736). Host-side cv2 resize."""
+    import cv2
+    import numpy as np
+
+    masks = np.asarray(masks)
+    im1_shape = masks.shape[:2]
+    if tuple(im1_shape) == tuple(im0_shape[:2]):
+        return masks
+    if ratio_pad is None:
+        gain = min(im1_shape[0] / im0_shape[0], im1_shape[1] / im0_shape[1])
+        pad = ((im1_shape[1] - im0_shape[1] * gain) / 2,
+               (im1_shape[0] - im0_shape[0] * gain) / 2)
+    else:
+        pad = ratio_pad[1]
+    top, left = int(round(pad[1] - 0.1)), int(round(pad[0] - 0.1))
+    bottom = im1_shape[0] - int(round(pad[1] + 0.1))
+    right = im1_shape[1] - int(round(pad[0] + 0.1))
+    masks = masks[top:bottom, left:right]
+    return cv2.resize(masks, (im0_shape[1], im0_shape[0]))
+
+
+def masks2segments(masks, strategy: str = "all"):
+    """Binary masks (N, H, W) → list of (K, 2) polygons (ops.py:823):
+    'all' concatenates every contour, 'largest' keeps the biggest."""
+    import cv2
+    import numpy as np
+
+    out = []
+    for m in np.asarray(masks).astype(np.uint8):
+        cnts = cv2.findContours(m, cv2.RETR_EXTERNAL,
+                                cv2.CHAIN_APPROX_SIMPLE)[0]
+        if cnts:
+            if strategy == "largest":
+                c = np.array(max(cnts, key=cv2.contourArea)).reshape(-1, 2)
+            else:
+                c = np.concatenate([x.reshape(-1, 2) for x in cnts])
+        else:
+            c = np.zeros((0, 2))
+        out.append(c.astype(np.float32))
+    return out
+
+
+def clean_str(s: str) -> str:
+    """Sanitize a string into a filesystem-safe token (ops.py:852)."""
+    import re
+
+    return re.sub(r"[|@#!¡·$€%&()=?¿^*;:,¨´><+]", "_", str(s))
