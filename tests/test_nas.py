@@ -17,8 +17,10 @@ from yolo_sod_tpu.utils.reparam import fuse_rep_variables
 @pytest.mark.parametrize("c1,c2,s", [(16, 16, 1), (16, 32, 1), (16, 32, 2)])
 def test_repconv_fuse_equivalence(c1, c2, s):
     """Deploy-mode fused conv must reproduce the train-branch eval output
-    exactly (up to float assoc): BN fold + 1x1 pad + identity delta kernel."""
-    mod = RepConv(c1, c2, 3, s)
+    exactly (up to float assoc): BN fold + 1x1 pad + identity delta kernel.
+    bn=True exercises the identity-BN third branch where legal (c1==c2, s==1;
+    reference conv.py:193 — default is bn=False, RT-DETR RepC3 uses none)."""
+    mod = RepConv(c1, c2, 3, s, bn=True)
     x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, c1), jnp.float32)
     variables = mod.init(jax.random.PRNGKey(0), x, train=False)
     # Perturb BN stats/params so the fold is non-trivial.

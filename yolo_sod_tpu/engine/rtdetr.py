@@ -69,18 +69,32 @@ class RTDETRValidator:
 
 
 class RTDETRTrainer(DetectionTrainer):
-    """Train an RTDETRDecoder-head model end to end."""
+    """Train an RTDETRDecoder-head model end to end.
+
+    Criterion parity with the reference RTDETRDetectionModel
+    (models/rtdetr/train.py + models/utils/loss.py:291): VFL class loss with
+    IoU-weighted targets, L1 + GIoU over matched pairs, per-layer aux losses
+    with the encoder proposals as aux layer 0, and contrastive-denoising
+    (CDN) reconstruction over a fixed-capacity dn slot axis so the whole
+    step stays one compiled graph."""
 
     task = "detect"
     loss_names = ("giou_loss", "cls_loss", "l1_loss")
 
     def __init__(self, *args, loss_gain=None, use_fl: bool = True,
-                 alpha: float = 0.25, gamma: float = 2.0, **kwargs):
+                 use_vfl: bool = True, alpha: float = 0.25,
+                 gamma: float = 2.0, num_dn: int = 100,
+                 cls_noise_ratio: float = 0.5, box_noise_scale: float = 1.0,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.loss_gain = loss_gain or {"class": 1.0, "bbox": 5.0, "giou": 2.0}
         self.use_fl = use_fl
+        self.use_vfl = use_vfl
         self.alpha = alpha
         self.gamma = gamma
+        self.num_dn = num_dn
+        self.cls_noise_ratio = cls_noise_ratio
+        self.box_noise_scale = box_noise_scale
 
     def default_model(self) -> str:
         return "rtdetr-l.yaml"
@@ -93,69 +107,83 @@ class RTDETRTrainer(DetectionTrainer):
         return RTDETRValidator(args=vargs)
 
     def _compile_step(self):
+        from yolo_sod_tpu.models.utils.loss import detr_loss_terms
+
         model, tx = self.model, self.tx
         nc = self.model.nc
         gains = self.loss_gain
-        alpha, gamma, use_fl = self.alpha, self.gamma, self.use_fl
+        use_vfl = self.use_vfl and self.use_fl
         accumulate = self.accumulate
         compute_dtype = jnp.bfloat16 if self.args.amp else jnp.float32
         matcher = self.criterion
+        num_dn = self.num_dn
+        cdn_rng = np.random.default_rng(getattr(self.args, "seed", 0) or 0)
+
+        def forward(params, batch_stats, img, dn):
+            return model.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                image_to_compute(img, compute_dtype), train=True, dn=dn,
+                mutable=["batch_stats"])
+
+        def split_match(out, D):
+            """(enc-first) match-part layer stack (L+1, B, nq, ...)."""
+            dec_b = out["dec_bboxes"].astype(jnp.float32)
+            dec_s = out["dec_scores"].astype(jnp.float32)
+            pred_b = jnp.concatenate(
+                [out["enc_bboxes"][None].astype(jnp.float32), dec_b[:, :, D:]], 0)
+            pred_s = jnp.concatenate(
+                [out["enc_scores"][None].astype(jnp.float32), dec_s[:, :, D:]], 0)
+            return pred_b, pred_s, dec_b[:, :, :D], dec_s[:, :, :D]
 
         @jax.jit
-        def preview(params, batch_stats, img):
-            out = model.net.apply({"params": params, "batch_stats": batch_stats},
-                                  image_to_compute(img, compute_dtype), train=True,
-                                  mutable=["batch_stats"])[0]
-            pred_b = jnp.concatenate(
-                [out["dec_bboxes"], out["enc_bboxes"][None]], 0)
-            pred_s = jnp.concatenate(
-                [out["dec_scores"], out["enc_scores"][None]], 0)
-            return pred_b.astype(jnp.float32), pred_s.astype(jnp.float32)
+        def preview(params, batch_stats, img, dn_cls, dn_bbox, attn):
+            dn = (dn_cls, dn_bbox, attn) if num_dn > 0 else None
+            out = forward(params, batch_stats, img, dn)[0]
+            D = dn_cls.shape[1] if num_dn > 0 else 0
+            pred_b, pred_s, _, _ = split_match(out, D)
+            return pred_b, pred_s
 
-        def loss_fn(params, batch_stats, img, tgt_cls, tgt_box, tgt_mask, n_gt):
-            out, mutated = model.net.apply(
-                {"params": params, "batch_stats": batch_stats},
-                image_to_compute(img, compute_dtype), train=True, mutable=["batch_stats"])
-            pred_b = jnp.concatenate(
-                [out["dec_bboxes"], out["enc_bboxes"][None]], 0).astype(jnp.float32)
-            pred_s = jnp.concatenate(
-                [out["dec_scores"], out["enc_scores"][None]], 0).astype(jnp.float32)
+        def loss_fn(params, batch_stats, img, dn_cls, dn_bbox, attn,
+                    tgt_cls, tgt_box, tgt_mask, n_gt,
+                    dn_tgt_cls, dn_tgt_box, dn_tgt_mask, n_dn_gt):
+            dn = (dn_cls, dn_bbox, attn) if num_dn > 0 else None
+            out, mutated = forward(params, batch_stats, img, dn)
+            D = dn_cls.shape[1] if num_dn > 0 else 0
+            pred_b, pred_s, dn_b, dn_s = split_match(out, D)
 
-            one_hot = jax.nn.one_hot(tgt_cls, nc + 1)[..., :nc]   # (L,B,Q,nc)
-            if use_fl:
-                p = jax.nn.sigmoid(pred_s)
-                ce = jnp.clip(pred_s, 0, None) - pred_s * one_hot + \
-                    jnp.log1p(jnp.exp(-jnp.abs(pred_s)))
-                p_t = jnp.where(one_hot == 1, p, 1 - p)
-                a_t = jnp.where(one_hot == 1, alpha, 1 - alpha)
-                loss_cls = (a_t * (1 - p_t) ** gamma * ce).sum((1, 2, 3)) / n_gt
-            else:
-                ce = jnp.clip(pred_s, 0, None) - pred_s * one_hot + \
-                    jnp.log1p(jnp.exp(-jnp.abs(pred_s)))
-                loss_cls = ce.mean(-1).sum((1, 2)) / n_gt
-
-            m = tgt_mask[..., None]
-            loss_l1 = (jnp.abs(pred_b - tgt_box) * m).sum((1, 2, 3)) / n_gt
-            giou = bbox_iou(xywh2xyxy(pred_b), xywh2xyxy(tgt_box),
-                            xywh=False, GIoU=True)[..., 0]
-            loss_giou = (((1.0 - giou) * tgt_mask).sum((1, 2))) / n_gt
-
-            total = (gains["class"] * loss_cls.sum() +
-                     gains["bbox"] * loss_l1.sum() +
-                     gains["giou"] * loss_giou.sum())
-            # Items report the LAST decoder layer (index -2: layers are
-            # [dec_0..dec_{L-1}, enc]), matching the reference's loss naming.
-            items = jnp.stack([gains["giou"] * loss_giou[-2],
-                               gains["class"] * loss_cls[-2],
-                               gains["bbox"] * loss_l1[-2]])
+            # Match part: per-layer VFL/L1/GIoU terms, layer 0 = encoder
+            # proposals, last = final decoder layer (reference ordering).
+            zero = jnp.zeros(())
+            total = zero
+            items = None
+            L1 = pred_b.shape[0]
+            for li in range(L1):
+                d = detr_loss_terms(pred_b[li], pred_s[li], tgt_cls[li],
+                                    tgt_box[li], tgt_mask[li], n_gt, nc,
+                                    use_vfl, n_gt > 0, gains)
+                total = total + d["loss_class"] + d["loss_bbox"] + d["loss_giou"]
+                if li == L1 - 1:      # main layer -> reported items
+                    items = jnp.stack([d["loss_giou"], d["loss_class"],
+                                       d["loss_bbox"]])
+            # Denoising reconstruction: same targets for every decoder layer
+            # (reference RTDETRDetectionLoss dn aux loop).
+            if num_dn > 0:
+                for li in range(dn_b.shape[0]):
+                    d = detr_loss_terms(dn_b[li], dn_s[li], dn_tgt_cls,
+                                        dn_tgt_box, dn_tgt_mask, n_dn_gt, nc,
+                                        use_vfl, n_dn_gt > 0, gains)
+                    total = total + d["loss_class"] + d["loss_bbox"] + d["loss_giou"]
             return total, (items, mutated.get("batch_stats", batch_stats))
 
         @jax.jit
-        def grad_step(state: TrainState, img, tgt_cls, tgt_box, tgt_mask, n_gt):
+        def grad_step(state: TrainState, img, dn_cls, dn_bbox, attn,
+                      tgt_cls, tgt_box, tgt_mask, n_gt,
+                      dn_tgt_cls, dn_tgt_box, dn_tgt_mask, n_dn_gt):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, (items, new_bs)), grads = grad_fn(
-                state.params, state.batch_stats, img, tgt_cls, tgt_box,
-                tgt_mask, n_gt)
+                state.params, state.batch_stats, img, dn_cls, dn_bbox, attn,
+                tgt_cls, tgt_box, tgt_mask, n_gt,
+                dn_tgt_cls, dn_tgt_box, dn_tgt_mask, n_dn_gt)
             step = state.step + 1
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -174,14 +202,78 @@ class RTDETRTrainer(DetectionTrainer):
 
         def step(state: TrainState, batch):
             img = jnp.asarray(batch["img"])
-            pred_b, pred_s = preview(state.params, state.batch_stats, img)
+            B = img.shape[0]
+            nq = min(dict(model.net.graph.specs[-1].kwargs).get("nq", 300),
+                     self._num_tokens(img.shape))
+            dn = self._build_cdn(batch, nq, cdn_rng)
+            pred_b, pred_s = preview(state.params, state.batch_stats, img,
+                                     dn["dn_cls"], dn["dn_bbox"], dn["attn"])
             tgt_cls, tgt_box, tgt_mask, n_gt = self._match_targets(
                 np.asarray(pred_b), np.asarray(pred_s), batch, matcher)
-            return grad_step(state, img, jnp.asarray(tgt_cls),
+            return grad_step(state, img, dn["dn_cls"], dn["dn_bbox"],
+                             dn["attn"], jnp.asarray(tgt_cls),
                              jnp.asarray(tgt_box), jnp.asarray(tgt_mask),
-                             jnp.asarray(n_gt, jnp.float32))
+                             jnp.asarray(n_gt, jnp.float32),
+                             dn["tgt_cls"], dn["tgt_box"], dn["tgt_mask"],
+                             dn["n_dn_gt"])
 
         self.train_step = step
+
+    def _num_tokens(self, img_shape) -> int:
+        """Total multi-level token count for this image size (the decoder
+        clamps nq to it on tiny eval shapes — keep the mask size in sync)."""
+        H, W = img_shape[1], img_shape[2]
+        strides = self.model.net.graph.detect_strides or (8, 16, 32)
+        return sum((H // s) * (W // s) for s in strides)
+
+    def _build_cdn(self, batch, nq: int, rng):
+        """Fixed-capacity CDN inputs + reconstruction targets for one batch.
+        Empty-GT batches produce fully-masked dead slots so the compiled
+        shapes never change."""
+        from yolo_sod_tpu.models.utils.loss import get_cdn_group
+
+        mask_gt = np.asarray(batch["mask_gt"]) > 0
+        B, M = mask_gt.shape
+        D = 2 * max(self.num_dn, M)
+        if self.num_dn <= 0:
+            z = jnp.zeros((B, 0), jnp.int32)
+            return {"dn_cls": z, "dn_bbox": jnp.zeros((B, 0, 4), jnp.float32),
+                    "attn": jnp.ones((nq, nq), bool),
+                    "tgt_cls": z, "tgt_box": jnp.zeros((B, 0, 4), jnp.float32),
+                    "tgt_mask": jnp.zeros((B, 0), jnp.float32),
+                    "n_dn_gt": jnp.asarray(0.0, jnp.float32)}
+        gt_groups = mask_gt.sum(1).astype(int).tolist()
+        cls_all = np.asarray(batch["cls"]).reshape(B, M)
+        box_all = np.asarray(batch["bboxes"], np.float32).reshape(B, M, 4)
+        flat = {"cls": np.concatenate([cls_all[b][mask_gt[b]] for b in range(B)])
+                if sum(gt_groups) else np.zeros(0, np.float32),
+                "bboxes": np.concatenate([box_all[b][mask_gt[b]] for b in range(B)])
+                if sum(gt_groups) else np.zeros((0, 4), np.float32),
+                "gt_groups": gt_groups}
+        cdn = get_cdn_group(flat, self.model.nc, nq, None, num_dn=self.num_dn,
+                            cls_noise_ratio=self.cls_noise_ratio,
+                            box_noise_scale=self.box_noise_scale,
+                            training=True, capacity=D, rng=rng)
+        if cdn[0] is None:                     # no GT in batch: inert slots
+            T = D + nq
+            attn = np.zeros((T, T), bool)
+            attn[:, :D] = True
+            np.fill_diagonal(attn, False)
+            return {"dn_cls": jnp.full((B, D), -1, jnp.int32),
+                    "dn_bbox": jnp.zeros((B, D, 4), jnp.float32),
+                    "attn": jnp.asarray(~attn),
+                    "tgt_cls": jnp.full((B, D), self.model.nc, jnp.int32),
+                    "tgt_box": jnp.zeros((B, D, 4), jnp.float32),
+                    "tgt_mask": jnp.zeros((B, D), jnp.float32),
+                    "n_dn_gt": jnp.asarray(0.0, jnp.float32)}
+        dn_cls, dn_bbox, attn_blocked, meta = cdn
+        return {"dn_cls": jnp.asarray(dn_cls),
+                "dn_bbox": jnp.asarray(dn_bbox),
+                "attn": jnp.asarray(~attn_blocked),   # flax: True = attend
+                "tgt_cls": jnp.asarray(meta["tgt_cls"]),
+                "tgt_box": jnp.asarray(meta["tgt_box"]),
+                "tgt_mask": jnp.asarray(meta["tgt_mask"]),
+                "n_dn_gt": jnp.asarray(meta["num_dn_gts"], jnp.float32)}
 
     @staticmethod
     def _match_targets(pred_b, pred_s, batch, matcher):

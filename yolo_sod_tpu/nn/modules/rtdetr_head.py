@@ -51,8 +51,19 @@ class RTDETRDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, xs: Sequence[jax.Array], train: bool = False,
-                 active_mask=None):
+                 active_mask=None, dn_cls=None, dn_bbox=None, attn_mask=None):
+        """dn_cls (B, D) int32 noised GT class per CDN slot (-1 = empty pad),
+        dn_bbox (B, D, 4) logit-space noised boxes, attn_mask (D+nq, D+nq)
+        bool with True = ATTEND (contrastive-denoising groups, reference
+        head.py RTDETRDecoder.forward + models/utils/ops.py get_cdn_group).
+        All three must be passed together; shapes are static (fixed CDN
+        capacity D), so the train step compiles once."""
         hd, nq, nc = self.hd, self.nq, self.nc
+        # CDN class embedding (reference: nn.Embedding(nc, hd)); created
+        # unconditionally so the param tree (and converted checkpoints) match
+        # the reference whether or not denoising is active.
+        dn_class_embed = self.param("denoising_class_embed",
+                                    nn.initializers.normal(1.0), (nc, self.hd))
         # 1) Project + flatten multi-level features into one token memory.
         feats, shapes = [], []
         for i, x in enumerate(xs):
@@ -84,6 +95,17 @@ class RTDETRDecoder(nn.Module):
             jnp.take_along_axis(out_mem, topi[..., None], 1)) if train else \
             jnp.take_along_axis(out_mem, topi[..., None], 1)
 
+        # 2b) Prepend denoising queries (reference _get_decoder_input:
+        # torch.cat([dn_embed, embed], 1)). Empty slots embed to zeros, the
+        # same value the reference's padding_cls carries.
+        if dn_cls is not None:
+            dn_embed = jnp.where(
+                (dn_cls >= 0)[..., None],
+                dn_class_embed[jnp.clip(dn_cls, 0, nc - 1)], 0.0).astype(embed.dtype)
+            embed = jnp.concatenate([dn_embed, embed], 1)
+            refer_unact = jnp.concatenate(
+                [dn_bbox.astype(refer_unact.dtype), refer_unact], 1)
+
         # 3) Deformable decoder with per-layer refinement heads.
         pos_mlp = MLP(2 * hd, hd, 2, name="query_pos_head")
         refer = jax.nn.sigmoid(refer_unact)
@@ -94,7 +116,8 @@ class RTDETRDecoder(nn.Module):
             out = DeformableTransformerDecoderLayer(
                 hd, self.nh, d_ffn=1024, n_levels=len(shapes), n_points=self.ndp,
                 name=f"decoder_layer{li}")(out, rb, memory, shapes,
-                                           query_pos=pos_mlp(refer), train=train)
+                                           query_pos=pos_mlp(refer), train=train,
+                                           attn_mask=attn_mask)
             delta = MLP(hd, 4, 3, name=f"dec_bbox_head{li}")(out)
             refined = jax.nn.sigmoid(delta + inverse_sigmoid(refer))
             dec_cls.append(nn.Dense(nc, name=f"dec_score_head{li}",

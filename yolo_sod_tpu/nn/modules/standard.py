@@ -184,6 +184,7 @@ class RepConv(nn.Module):
     k: int = 3
     s: int = 1
     act: bool = True
+    bn: bool = False   # identity-BN third branch (reference conv.py:193, off by default)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -196,7 +197,7 @@ class RepConv(nn.Module):
         y1 = ConvBNAct(self.c1, self.c2, self.k, self.s, act=False, name="conv1")(x, train)
         y2 = ConvBNAct(self.c1, self.c2, 1, self.s, act=False, name="conv2")(x, train)
         y = y1 + y2
-        if self.c1 == self.c2 and self.s == 1:
+        if self.bn and self.c1 == self.c2 and self.s == 1:
             idn = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                                epsilon=BN_EPS, name="bn")(x)
             y = y + idn
@@ -363,3 +364,59 @@ class HGBlock(nn.Module):
                       act=jax.nn.relu, name="sc")(y, train)
         y = ConvBNAct(self.c2 // 2, self.c2, 1, act=jax.nn.relu, name="ec")(y, train)
         return y + x if self.shortcut and self.c1 == self.c2 else y
+
+
+class ResNetBlock(nn.Module):
+    """Bottleneck ResNet block, e-expansion (reference block.py:381-395)."""
+
+    c1: int
+    c2: int
+    s: int = 1
+    e: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c3 = self.e * self.c2
+        y = ConvBNAct(self.c1, self.c2, 1, 1, name="cv1")(x, train)
+        y = ConvBNAct(self.c2, self.c2, 3, self.s, p=1, name="cv2")(y, train)
+        y = ConvBNAct(self.c2, c3, 1, act=False, name="cv3")(y, train)
+        if self.s != 1 or self.c1 != c3:
+            x = ConvBNAct(self.c1, c3, 1, self.s, act=False, name="shortcut")(x, train)
+        return jax.nn.relu(y + x)
+
+
+class ResNetLayer(nn.Module):
+    """Stack of ResNet blocks, or the 7x7 stem when is_first
+    (reference block.py:398-417; RT-DETR ResNet backbones)."""
+
+    c1: int
+    c2: int
+    s: int = 1
+    is_first: bool = False
+    n: int = 1
+    e: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.is_first:
+            x = ConvBNAct(self.c1, self.c2, 7, 2, p=3, name="stem")(x, train)
+            return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = ResNetBlock(self.c1, self.c2, self.s, e=self.e, name="m_0")(x, train)
+        for i in range(1, self.n):
+            x = ResNetBlock(self.e * self.c2, self.c2, 1, e=self.e,
+                            name=f"m_{i}")(x, train)
+        return x
+
+
+class AGLU(nn.Module):
+    """Unified (adaptive generalized linear unit) activation
+    (reference nn/modules/activation.py:8-22): exp((1/lam) * softplus_{beta=-1}(kappa*x - log lam))
+    with learnable scalar lam (clamped >= 1e-4) and kappa, both init U(0, 1)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        lambd = self.param("lambd", nn.initializers.uniform(scale=1.0), (1,), jnp.float32)
+        kappa = self.param("kappa", nn.initializers.uniform(scale=1.0), (1,), jnp.float32)
+        lam = jnp.clip(lambd, 1e-4, None).astype(x.dtype)
+        y = kappa.astype(x.dtype) * x - jnp.log(lam)
+        return jnp.exp(-jax.nn.softplus(-y) / lam)

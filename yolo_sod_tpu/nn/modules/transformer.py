@@ -212,10 +212,13 @@ class DeformableTransformerDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, embed, refer_bbox, feats, shapes, query_pos=None,
-                 train: bool = False):
+                 train: bool = False, attn_mask=None):
         q = k = embed if query_pos is None else embed + query_pos
+        # attn_mask: (Q, Q) bool, True = ATTEND (flax convention; the torch
+        # reference passes the inverse, True = blocked — CDN group isolation).
+        mask = None if attn_mask is None else attn_mask[None, None, :, :]
         a = nn.MultiHeadDotProductAttention(self.n_heads, qkv_features=self.d_model,
-                                            name="self_attn")(q, k, embed)
+                                            name="self_attn")(q, k, embed, mask=mask)
         embed = nn.LayerNorm(name="norm1")(embed + a)
         c = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
                          name="cross_attn")(

@@ -234,8 +234,12 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
             c2 = args[0] if args else nc
             args = [c1, c2]
         elif name in ("HGStem", "HGBlock"):
+            if name == "HGStem":
+                s_out = s_in * 4     # stem1 s2 + stem3 s2
+            # Reference tasks.py:1088-1090 passes cm/c2 through RAW — no
+            # width scaling, no max_channels clamp (rtdetr-l's 2048-ch
+            # HGBlocks exceed its scales max_channels=1024 by design).
             cm, c2 = int(args[0]), int(args[1])
-            c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, cm, c2, *args[2:]]
             if name == "HGBlock":
                 # row repeats fold into the block's inner conv count
@@ -244,6 +248,15 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
                     args.append(3)       # default k
                 args.insert(4, n)
                 n = 1
+        elif name == "ResNetLayer":
+            # YAML passes c1 explicitly: [c1, c2, s, is_first, n]
+            # (reference tasks.py:1094: c2 = args[1] if is_first else args[1]*4)
+            is_first = len(args) > 3 and args[3]
+            c2 = int(args[1]) if is_first else int(args[1]) * 4
+            s_out = s_in * (4 if is_first else int(args[2]) if len(args) > 2 else 1)
+        elif name == "AGLU":
+            c2 = c1
+            args = []
         elif name in _ATTN_PASSTHROUGH:
             c2 = c1
             if name in ("MambaBlock", "SwinBlock", "CA_Block", "CBAM_Block", "MixedAttention",
@@ -330,7 +343,11 @@ class Network(nn.Module):
     act_int8_strides: tuple = ()   # opt-in: int8-quantize boundary activations
 
     @nn.compact
-    def __call__(self, x, train: bool = False, active_mask=None, guide=None):
+    def __call__(self, x, train: bool = False, active_mask=None, guide=None,
+                 dn=None):
+        # dn: optional (dn_cls, dn_bbox, attn_mask) CDN denoising queries for
+        # an RTDETRDecoder head (fixed-capacity; see models/utils/loss.py
+        # get_cdn_group).
         saved: dict[int, jax.Array] = {}
         out = x
         if guide is not None and guide.shape[0] != x.shape[0]:
@@ -358,6 +375,9 @@ class Network(nn.Module):
             elif spec.name in ("Detect", "DetectStable", "v10Detect",
                                "Segment", "Pose", "OBB"):
                 out = build_module(spec, f"model_{spec.i}")(inputs, train, active_mask)
+            elif spec.name == "RTDETRDecoder" and dn is not None:
+                out = build_module(spec, f"model_{spec.i}")(
+                    inputs, train, None, *dn)
             elif spec.n > 1:
                 out = inputs
                 for r in range(spec.n):
