@@ -124,6 +124,16 @@ class DetectionValidator:
         confusion = ConfusionMatrix(nc=nc, conf=conf)
         stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         self.jdict = []    # COCO-format predictions when save_json
+        # COCO evaluation uses the sparse 91-id category space
+        # (reference detect/val.py:66-68 + data/converter).
+        self.is_coco = (Path(str(args.data or "")).stem.startswith("coco")
+                        and "8" not in Path(str(args.data or "")).stem
+                        and nc == 80)
+        if self.is_coco:
+            from yolo_sod_tpu.data.converter import coco80_to_coco91_class
+            self.class_map = coco80_to_coco91_class()
+        else:
+            self.class_map = list(range(1000))
         n_images = 0
         B = self.dataloader.batch_size
 
@@ -229,7 +239,8 @@ class DetectionValidator:
         for (x1, y1, x2, y2), conf, cls in zip(boxes, det[:, 4], det[:, 5]):
             self.jdict.append({
                 "image_id": image_id,
-                "category_id": int(cls),
+                "category_id": getattr(self, "class_map",
+                                       list(range(1000)))[int(cls)],
                 "bbox": [round(float(x1), 3), round(float(y1), 3),
                          round(float(x2 - x1), 3), round(float(y2 - y1), 3)],
                 "score": round(float(conf), 5),
