@@ -111,6 +111,7 @@ class RTDETRDecoder(nn.Module):
         refer = jax.nn.sigmoid(refer_unact)
         dec_boxes, dec_cls = [], []
         out = embed
+        last_refined = None
         for li in range(self.ndl):
             rb = refer[:, :, None, :].repeat(len(shapes), 2)  # per-level refs
             out = DeformableTransformerDecoderLayer(
@@ -123,7 +124,16 @@ class RTDETRDecoder(nn.Module):
             dec_cls.append(nn.Dense(nc, name=f"dec_score_head{li}",
                                     bias_init=nn.initializers.constant(
                                         -math.log((1 - 0.01) / 0.01)))(out))
-            dec_boxes.append(refined)
+            if train and li > 0:
+                # Aux-loss boxes chain through the UNDETACHED previous
+                # refinement (reference transformer.py:413-418): same values
+                # as `refined` but the gradient also reaches layer li-1's
+                # bbox head.
+                dec_boxes.append(jax.nn.sigmoid(
+                    delta + inverse_sigmoid(last_refined)))
+            else:
+                dec_boxes.append(refined)
+            last_refined = refined
             refer = jax.lax.stop_gradient(refined) if train else refined
 
         if train:

@@ -134,12 +134,19 @@ def multi_scale_deformable_attn(value, value_spatial_shapes, sampling_locations,
         wy = xy[..., 1] - y0
 
         def gather(yi, xi):
-            yi = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
-            xi = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
+            # grid_sample(padding_mode="zeros") semantics: out-of-range
+            # corners contribute ZERO (reference utils.py:69-71), not the
+            # clamped border pixel.
+            yi = yi.astype(jnp.int32)
+            xi = xi.astype(jnp.int32)
+            inb = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+            yc = jnp.clip(yi, 0, H - 1)
+            xc = jnp.clip(xi, 0, W - 1)
             # v: (B, H, W, nh, hd); index per (B, Lq, nh, np)
             b_idx = jnp.arange(B)[:, None, None, None]
             h_idx = jnp.arange(nh)[None, None, :, None]
-            return v[b_idx, yi, xi, h_idx]               # (B, Lq, nh, np, hd)
+            g = v[b_idx, yc, xc, h_idx]                  # (B, Lq, nh, np, hd)
+            return g * inb[..., None].astype(g.dtype)
 
         s = (gather(y0, x0) * ((1 - wx) * (1 - wy))[..., None]
              + gather(y0, x0 + 1) * (wx * (1 - wy))[..., None]

@@ -201,3 +201,78 @@ def convert_torch_checkpoint(src, model) -> Tuple[dict, dict]:
     if "batch_stats" in out:
         variables["batch_stats"] = out["batch_stats"]
     return variables, report
+
+
+def convert_rtdetr_decoder(sd: dict, nh: int = 8) -> Tuple[dict, dict]:
+    """torch RTDETRDecoder state_dict (numpy values) -> our RTDETRDecoder
+    variables (params, batch_stats).
+
+    Explicit structural map (reference nn/modules/head.py:361 RTDETRDecoder):
+    packed torch MultiheadAttention in_proj splits into flax MHDPA
+    query/key/value DenseGeneral kernels (C, nh, hd); Sequential(Linear,
+    LayerNorm) enc_output splits into enc_output + enc_output_norm; ModuleList
+    heads land on our per-layer dec_*_head{i} names.
+    """
+    import numpy as np
+
+    P: dict = {}
+    S: dict = {}
+
+    def lin(prefix):
+        return {"kernel": np.asarray(sd[prefix + ".weight"]).T,
+                "bias": np.asarray(sd[prefix + ".bias"])}
+
+    def ln(prefix):
+        return {"scale": np.asarray(sd[prefix + ".weight"]),
+                "bias": np.asarray(sd[prefix + ".bias"])}
+
+    def mlp(prefix, n=3):
+        return {f"layer{j}": lin(f"{prefix}.layers.{j}") for j in range(n)}
+
+    n_levels = 0
+    while f"input_proj.{n_levels}.0.weight" in sd:
+        w = np.asarray(sd[f"input_proj.{n_levels}.0.weight"])
+        P[f"input_proj_{n_levels}_conv"] = {"kernel": w.transpose(2, 3, 1, 0)}
+        P[f"input_proj_{n_levels}_bn"] = {
+            "scale": np.asarray(sd[f"input_proj.{n_levels}.1.weight"]),
+            "bias": np.asarray(sd[f"input_proj.{n_levels}.1.bias"])}
+        S[f"input_proj_{n_levels}_bn"] = {
+            "mean": np.asarray(sd[f"input_proj.{n_levels}.1.running_mean"]),
+            "var": np.asarray(sd[f"input_proj.{n_levels}.1.running_var"])}
+        n_levels += 1
+
+    P["enc_output"] = lin("enc_output.0")
+    P["enc_output_norm"] = ln("enc_output.1")
+    P["enc_score_head"] = lin("enc_score_head")
+    P["enc_bbox_head"] = mlp("enc_bbox_head")
+    P["query_pos_head"] = mlp("query_pos_head", n=2)
+    P["denoising_class_embed"] = np.asarray(sd["denoising_class_embed.weight"])
+
+    ndl = 0
+    while f"decoder.layers.{ndl}.self_attn.in_proj_weight" in sd:
+        pre = f"decoder.layers.{ndl}"
+        C = np.asarray(sd[f"{pre}.self_attn.in_proj_weight"]).shape[1]
+        hd = C // nh
+        inw = np.asarray(sd[f"{pre}.self_attn.in_proj_weight"])
+        inb = np.asarray(sd[f"{pre}.self_attn.in_proj_bias"])
+        sa = {}
+        for j, name in enumerate(("query", "key", "value")):
+            sa[name] = {"kernel": inw[j * C:(j + 1) * C].T.reshape(C, nh, hd),
+                        "bias": inb[j * C:(j + 1) * C].reshape(nh, hd)}
+        ow = np.asarray(sd[f"{pre}.self_attn.out_proj.weight"])
+        sa["out"] = {"kernel": ow.T.reshape(nh, hd, C),
+                     "bias": np.asarray(sd[f"{pre}.self_attn.out_proj.bias"])}
+        layer = {"self_attn": sa,
+                 "cross_attn": {k: lin(f"{pre}.cross_attn.{k}") for k in
+                                ("sampling_offsets", "attention_weights",
+                                 "value_proj", "output_proj")},
+                 "norm1": ln(f"{pre}.norm1"), "norm2": ln(f"{pre}.norm2"),
+                 "norm3": ln(f"{pre}.norm3"),
+                 "linear1": lin(f"{pre}.linear1"),
+                 "linear2": lin(f"{pre}.linear2")}
+        P[f"decoder_layer{ndl}"] = layer
+        P[f"dec_score_head{ndl}"] = lin(f"dec_score_head.{ndl}")
+        P[f"dec_bbox_head{ndl}"] = mlp(f"dec_bbox_head.{ndl}")
+        ndl += 1
+
+    return P, S
