@@ -15,6 +15,7 @@ from typing import Optional
 
 import numpy as np
 
+from yolo_sod_tpu import native
 from yolo_sod_tpu.data.dataset import YOLODataset
 
 
@@ -34,8 +35,11 @@ def collate(items: list[dict], max_boxes: int) -> dict:
     """
     B = len(items)
     M = max_boxes
-    img = np.stack([it["img"] for it in items])
-    img = np.ascontiguousarray(img[..., ::-1])         # BGR -> RGB uint8 NHWC
+    # BGR -> RGB uint8 NHWC. Fused native stack+swap (yolo_sod_tpu/native):
+    # numpy's strided reversal copy alone costs more than the device train
+    # step (~140 ms vs 89.6 ms at batch 16); the C++ single-pass kernel is
+    # ~17 ms on one core and bit-exact (tests/test_native.py).
+    img = native.stack_bgr2rgb([it["img"] for it in items])
     cls = np.zeros((B, M), np.float32)
     bboxes = np.zeros((B, M, 4), np.float32)
     mask = np.zeros((B, M), np.float32)

@@ -77,7 +77,10 @@ def smart_request(method: str, url: str, data: Optional[bytes] = None,
             except (urllib.error.URLError, TimeoutError, OSError) as e:
                 if attempt == retry or time.time() - t0 > timeout:
                     if verbose:
-                        LOGGER.warning(f"{PREFIX} {method} {url} failed: {e}")
+                        try:
+                            LOGGER.warning(f"{PREFIX} {method} {url} failed: {e}")
+                        except ValueError:
+                            pass  # stream closed at interpreter teardown (daemon thread)
                     return None, None
             time.sleep(min(2 ** attempt + random.random(), 8.0))
         return None, None
