@@ -79,3 +79,17 @@ def test_tta_augment_predict(model):
     img = (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
     results = model.predict(img, imgsz=64, conf=0.01, augment=True, verbose=False)
     assert len(results) == 1
+
+
+def test_embed(model):
+    """Model.embed: GAP'd layer features, concat over indices (reference
+    Model.embed engine/model.py:467, tasks.py:188-191)."""
+    img = (np.random.default_rng(3).random((48, 64, 3)) * 255).astype(np.uint8)
+    e = model.embed([img, 255 - img], imgsz=64)
+    assert len(e) == 2 and e[0].ndim == 1 and e[0].shape == e[1].shape
+    assert not np.allclose(e[0], e[1])
+    a = model.embed([img], embed=[4], imgsz=64)[0]
+    b = model.embed([img], embed=[6], imgsz=64)[0]
+    c = model.embed([img], embed=[4, 6], imgsz=64)[0]
+    assert c.shape[0] == a.shape[0] + b.shape[0]
+    assert np.allclose(c[: a.shape[0]], a) and np.allclose(c[a.shape[0]:], b)

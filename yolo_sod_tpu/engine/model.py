@@ -126,6 +126,28 @@ class Model:
     def __call__(self, source=None, **kwargs):
         return self.predict(source, **kwargs)
 
+    def embed(self, source=None, embed=None, **kwargs):
+        """Image embeddings (reference Model.embed engine/model.py:467):
+        GAP'd feature vectors of the given layer indices (default
+        second-to-last layer), one (D,) array per image."""
+        import jax
+        import numpy as np
+
+        from yolo_sod_tpu.data.augment import letterbox_np
+        from yolo_sod_tpu.engine.predictor import load_source
+
+        if self.model.variables is None:
+            self.model.init(imgsz=int(kwargs.get("imgsz", 640)))
+        imgsz = int(kwargs.get("imgsz") or self.overrides.get("imgsz") or 640)
+        indices = tuple(int(i) for i in (embed or ()))
+        fn = jax.jit(lambda v, x: self.model.embed(v, x, indices))
+        out = []
+        for _, im0 in load_source(source, vid_stride=1):
+            im, _, _ = letterbox_np(im0, (imgsz, imgsz), scaleup=False)
+            x = np.ascontiguousarray(im[..., ::-1]).astype(np.float32)[None] / 255.0
+            out.append(np.asarray(fn(self.model.variables, x))[0])
+        return out
+
     def train(self, **kwargs):
         """Train the model; returns metrics."""
         trainer_cls = self.task_map[self.task]["trainer"]

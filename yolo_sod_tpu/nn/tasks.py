@@ -344,11 +344,16 @@ class Network(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, active_mask=None, guide=None,
-                 dn=None):
+                 dn=None, embed=None):
         # dn: optional (dn_cls, dn_bbox, attn_mask) CDN denoising queries for
         # an RTDETRDecoder head (fixed-capacity; see models/utils/loss.py
         # get_cdn_group).
+        # embed: optional static tuple of layer indices — return the
+        # concatenation of their GAP'd feature vectors instead of the head
+        # output (reference tasks.py:188-191), truncating the replay at
+        # max(embed).
         saved: dict[int, jax.Array] = {}
+        embeddings: list[jax.Array] = []
         out = x
         if guide is not None and guide.shape[0] != x.shape[0]:
             # One text vocabulary for the whole batch (closed-set serving).
@@ -390,6 +395,12 @@ class Network(nn.Module):
                 out = _quant_dequant_int8(out)
             if spec.i in self.graph.save:
                 saved[spec.i] = out
+            if embed and spec.i in embed:
+                # GAP over spatial dims (NHWC) — the reference's
+                # adaptive_avg_pool2d(x, (1,1)).squeeze (tasks.py:189).
+                embeddings.append(jnp.mean(out, axis=(1, 2)))
+                if spec.i == max(embed):
+                    return jnp.concatenate(embeddings, axis=-1)
         return out
 
 
@@ -525,6 +536,16 @@ class DetectionModel:
                                       mutable=["batch_stats"])
             return self.net.apply(variables, x, train=train,
                                   active_mask=active_mask)
+
+    def embed(self, variables, x, indices=None):
+        """Image embeddings: GAP'd feature vectors of the given layer
+        indices, concatenated (reference Model.embed engine/model.py:467 →
+        tasks.py:188-191; default = second-to-last layer). Returns (B, D)."""
+        if not indices:
+            indices = [len(self.graph.specs) - 2]
+        with self._deploy_ctx():
+            return self.net.apply(variables, x, train=False,
+                                  embed=tuple(int(i) for i in indices))
 
     def predict(self, variables, x):
         """Inference forward + decode → (B, A, 4+nc) with pixel xywh boxes.
