@@ -70,3 +70,25 @@ def test_entrypoint_task_predict(task, model, tmp_path):
     results = entrypoint(f"yolo-sod {task} predict model={model} "
                          f"source={src} imgsz=64 conf=0.001 verbose=False")
     assert len(results) == 1
+
+
+def test_entrypoint_special_modes(tmp_path, monkeypatch):
+    """`yolo-sod checks|settings|cfg|copy-cfg` special commands (reference
+    cfg/__init__.py:131-137, handle_yolo_settings :579)."""
+    from yolo_sod_tpu.cfg import entrypoint
+    from yolo_sod_tpu.utils import SETTINGS
+
+    entrypoint("yolo-sod checks")
+    entrypoint("yolo-sod cfg")
+    entrypoint("yolo-sod settings")
+    old = SETTINGS["tensorboard"]
+    try:
+        entrypoint("yolo-sod settings tensorboard=False")
+        assert SETTINGS["tensorboard"] is False
+        with pytest.raises(KeyError):
+            entrypoint("yolo-sod settings not_a_key=1")
+    finally:
+        SETTINGS["tensorboard"] = old
+    monkeypatch.chdir(tmp_path)
+    entrypoint("yolo-sod copy-cfg")
+    assert (tmp_path / "default_copy.yaml").exists()

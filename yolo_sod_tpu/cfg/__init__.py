@@ -130,6 +130,70 @@ def smart_value(v: str) -> Any:
         return v
 
 
+def handle_settings(args: list[str]) -> None:
+    """`yolo-sod settings [reset | key=value ...]` (reference
+    cfg/__init__.py:579 handle_yolo_settings): no args prints the persisted
+    settings; `reset` restores defaults; key=value pairs update them."""
+    from yolo_sod_tpu.utils import SETTINGS
+
+    if args and args[0] == "reset":
+        SETTINGS.file_path.unlink(missing_ok=True)
+        SETTINGS.clear()
+        SETTINGS.update(SETTINGS.defaults)
+        LOGGER.info("settings reset to defaults")
+    else:
+        updates = dict(parse_key_value_pair(a) for a in args if "=" in a)
+        bad = [k for k in updates if k not in SETTINGS]
+        if bad:
+            raise KeyError(f"unknown settings key(s) {bad}; valid: {sorted(SETTINGS)}")
+        if updates:
+            SETTINGS.update(updates)
+    LOGGER.info("\n".join(f"{k}={v}" for k, v in sorted(SETTINGS.items())))
+
+
+def handle_checks(args: list[str]) -> None:
+    """`yolo-sod checks`: environment summary (reference `yolo checks` →
+    checks.collect_system_info)."""
+    import platform
+
+    import jax
+
+    from yolo_sod_tpu import __version__
+
+    try:
+        devices = jax.devices()
+        dev = f"{len(devices)}x {devices[0].device_kind} ({devices[0].platform})"
+    except Exception as e:  # no backend reachable — still print the rest
+        dev = f"unavailable ({e})"
+    LOGGER.info(
+        f"yolo-sod-tpu {__version__}\n"
+        f"python       {platform.python_version()} on {platform.platform()}\n"
+        f"jax          {jax.__version__}\n"
+        f"devices      {dev}\n"
+        f"default cfg  {DEFAULT_CFG_PATH}"
+    )
+
+
+def handle_cfg(args: list[str]) -> None:
+    """`yolo-sod cfg`: print the resolved default configuration."""
+    LOGGER.info("\n".join(f"{k}={v}" for k, v in DEFAULT_CFG_DICT.items()))
+
+
+def handle_copy_cfg(args: list[str]) -> None:
+    """`yolo-sod copy-cfg`: copy default.yaml into cwd for editing
+    (reference copy_default_cfg, cfg/__init__.py:547)."""
+    import shutil
+
+    dst = Path.cwd() / (DEFAULT_CFG_PATH.stem + "_copy.yaml")
+    shutil.copy2(DEFAULT_CFG_PATH, dst)
+    LOGGER.info(f"{DEFAULT_CFG_PATH} copied to {dst}\n"
+                f"usage: yolo-sod cfg={dst} ...")
+
+
+SPECIAL = {"settings": handle_settings, "checks": handle_checks,
+           "cfg": handle_cfg, "copy-cfg": handle_copy_cfg}
+
+
 def entrypoint(debug: str = ""):
     """CLI: `yolo-sod <task> <mode> key=value ...` (reference cfg/__init__.py:817)."""
     argv = (debug.split() if debug else sys.argv)[1:]
@@ -154,6 +218,8 @@ def entrypoint(debug: str = ""):
             from yolo_sod_tpu import __version__
             LOGGER.info(__version__)
             return
+        elif a in SPECIAL:
+            return SPECIAL[a]([x for x in argv if x != a])
         else:
             raise SyntaxError(f"'{a}' is not a valid argument (expected task, mode, or key=value)")
 
