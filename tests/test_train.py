@@ -219,3 +219,51 @@ def test_mixed_precision_master_weights():
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(l.dtype == jnp.float32 for l in leaves if l.dtype.kind == "f")
     assert int(state.step) == 1
+
+
+def test_loader_batch_decode_amortization(dataset_yaml):
+    """Mosaic/mixup partners come from the current batch and share a decode
+    memo (the reference's recently-loaded buffer sampling): decodes per
+    batch stay near batch_size instead of ~4x it."""
+    import yolo_sod_tpu.data.dataset as dsm
+    from yolo_sod_tpu.data.build import build_dataloader
+    from yolo_sod_tpu.data.dataset import YOLODataset
+    from yolo_sod_tpu.data.utils import check_det_dataset
+
+    info = check_det_dataset(str(dataset_yaml))
+    ds = YOLODataset(info["train"], imgsz=96,
+                     hyp={"mosaic": 1.0, "mixup": 0.5}, nc=info["nc"])
+    counts = {"n": 0}
+    orig = dsm.cv2.imread
+
+    def counting(path, *a):
+        counts["n"] += 1
+        return orig(path, *a)
+
+    dsm.cv2.imread = counting
+    try:
+        dl = build_dataloader(ds, batch=4, shuffle=True, seed=0, workers=1)
+        next(iter(dl))
+    finally:
+        dsm.cv2.imread = orig
+    # 4 primaries + batch-local partners (memo'd): far below the unamortized
+    # 4 x 4(mosaic) + mixup's extra mosaic worst case (~24).
+    assert counts["n"] <= 8, counts["n"]
+
+
+def test_loader_determinism_with_batch_context(dataset_yaml):
+    """Same seed + epoch -> identical batches, with partners/memo active."""
+    from yolo_sod_tpu.data.build import build_dataloader
+    from yolo_sod_tpu.data.dataset import YOLODataset
+    from yolo_sod_tpu.data.utils import check_det_dataset
+
+    info = check_det_dataset(str(dataset_yaml))
+
+    def first_batch():
+        ds = YOLODataset(info["train"], imgsz=96,
+                         hyp={"mosaic": 1.0, "mixup": 0.5}, nc=info["nc"])
+        return next(iter(build_dataloader(ds, batch=4, shuffle=True, seed=3)))
+
+    a, b = first_batch(), first_batch()
+    assert np.array_equal(a["img"], b["img"])
+    assert np.array_equal(a["bboxes"], b["bboxes"])

@@ -102,7 +102,8 @@ class DataLoader:
 
     def __init__(self, dataset: YOLODataset, batch_size: int = 16,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 max_boxes: Optional[int] = None, prefetch: int = 2):
+                 max_boxes: Optional[int] = None, prefetch: int = 2,
+                 workers: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -110,6 +111,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.max_boxes = max_boxes or dataset.max_boxes()
         self.prefetch = prefetch
+        # Decode/augment thread pool width: scale with the host (production
+        # TPU hosts have dozens of cores; cv2 releases the GIL), capped so a
+        # 1-core dev box is not oversubscribed.
+        import os as _os
+        self.workers = workers or min(8, (_os.cpu_count() or 1) + 3)
         self.epoch = 0
 
     def __len__(self):
@@ -153,18 +159,41 @@ class DataLoader:
             # the items of each batch concurrently even on one host core.
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=4) as pool:
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
                 try:
                     for sel in batches:
                         if stop.is_set():
                             return
                         if len(sel) == 0:
                             continue
-                        items = list(pool.map(self.dataset.__getitem__,
-                                              [int(i) for i in sel]))
-                        q.put(collate(items, self.max_boxes))
+                        idxs = [int(i) for i in sel]
+                        if hasattr(self.dataset, "getitem"):
+                            # Batch context: mosaic/mixup partners come from
+                            # this batch and share one decode memo, so each
+                            # image decodes ~once per batch instead of ~4x
+                            # (the reference's recently-loaded buffer
+                            # amortization, upstream BaseDataset).
+                            memo: dict = {}
+                            items = list(pool.map(
+                                lambda i: self.dataset.getitem(i, idxs, memo),
+                                idxs))
+                        else:
+                            items = list(pool.map(self.dataset.__getitem__, idxs))
+                        if not _put(collate(items, self.max_boxes)):
+                            return
                 finally:
-                    q.put(None)
+                    _put(None)
+
+        def _put(item) -> bool:
+            """Bounded put that observes `stop` — an abandoned consumer must
+            not leave the producer thread blocked forever on a full queue."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -267,4 +296,4 @@ def build_dataloader(dataset: YOLODataset, batch: int, workers: int = 8,
                      shuffle: bool = True, seed: int = 0,
                      max_boxes: Optional[int] = None) -> DataLoader:
     return DataLoader(dataset, batch_size=batch, shuffle=shuffle, seed=seed,
-                      drop_last=shuffle, max_boxes=max_boxes)
+                      drop_last=shuffle, max_boxes=max_boxes, workers=workers)

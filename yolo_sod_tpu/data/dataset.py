@@ -145,14 +145,21 @@ class YOLODataset:
         v = getattr(h, key, None) if not isinstance(h, dict) else h.get(key)
         return default if v is None else v
 
-    def load_image(self, i: int):
+    def load_image(self, i: int, memo: Optional[dict] = None):
         """Load image i, resized so the long side == imgsz (reference contract:
         train-time images pre-scale to imgsz before mosaic). cache='ram'
         keeps the resized arrays (reference `cache` key / InfiniteDataLoader
-        behavior); entries fill lazily and are shared across epochs."""
+        behavior); entries fill lazily and are shared across epochs.
+
+        `memo` is a per-batch decode cache (loader-owned dict): mosaic/mixup
+        partner images decode once per batch instead of once per use. Memo
+        hits return the shared array WITHOUT a copy — every consumer of a
+        partner image only reads it (canvas paste)."""
         if self.cache == "ram" and self._im_cache[i] is not None:
             im, shape = self._im_cache[i]
             return im.copy(), shape
+        if memo is not None and i in memo:
+            return memo[i]  # read-only consumers (mosaic paste) — no copy
         im = cv2.imread(self.im_files[i])
         if im is None:
             raise FileNotFoundError(f"image not found: {self.im_files[i]}")
@@ -163,6 +170,8 @@ class YOLODataset:
                             interpolation=cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA)
         if self.cache == "ram":
             self._im_cache[i] = (im.copy(), (h0, w0))
+        if memo is not None:
+            memo[i] = (im, (h0, w0))
         return im, (h0, w0)
 
     # -- mosaic ---------------------------------------------------------------
@@ -174,18 +183,28 @@ class YOLODataset:
     def _rng(self, index: int) -> np.random.Generator:
         return np.random.default_rng((self.seed, self.epoch, index))
 
-    def _mosaic4(self, index: int, rng):
+    def _pick_partner(self, rng, partners) -> int:
+        """Mosaic/mixup partner index. With loader context, partners come
+        from the CURRENT BATCH (the reference's recently-loaded `buffer`
+        sampling in upstream BaseDataset.load_image/Mosaic — a pool of
+        ~batch-size recent images) so each image decodes once per batch;
+        standalone use falls back to uniform over the dataset."""
+        if partners is not None and len(partners) > 1:
+            return int(partners[int(rng.integers(0, len(partners)))])
+        return int(rng.integers(0, len(self)))
+
+    def _mosaic4(self, index: int, rng, partners=None, memo=None):
         """4-image mosaic on a 2x canvas; returns (img, labels_xyxy)."""
         s = self.imgsz
         yc = int(rng.uniform(s // 2, 2 * s - s // 2))
         xc = int(rng.uniform(s // 2, 2 * s - s // 2))
-        indices = [index] + [int(rng.integers(0, len(self))) for _ in range(3)]
+        indices = [index] + [self._pick_partner(rng, partners) for _ in range(3)]
         img4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
         labels4 = []
         segs4 = []
         kpts4 = []
         for i, idx in enumerate(indices):
-            img, _ = self.load_image(idx)
+            img, _ = self.load_image(idx, memo)
             h, w = img.shape[:2]
             if i == 0:
                 x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
@@ -225,6 +244,12 @@ class YOLODataset:
 
     # -- item -----------------------------------------------------------------
     def __getitem__(self, index: int) -> dict:
+        return self.getitem(index)
+
+    def getitem(self, index: int, partners=None, memo=None) -> dict:
+        """__getitem__ with optional loader context: `partners` (the batch's
+        index set, used for mosaic/mixup partner picks — see _pick_partner)
+        and `memo` (per-batch decode cache)."""
         imgsz = self.imgsz
         rng = self._rng(index)
         ratio_pad = (1.0, (0.0, 0.0))
@@ -236,20 +261,20 @@ class YOLODataset:
         if self.augment and rng.random() < self._hyp("mosaic"):
             border = (-imgsz // 2, -imgsz // 2)
             if self.segments is not None:
-                img, labels_xyxy, segs_px = self._mosaic4(index, rng)
+                img, labels_xyxy, segs_px = self._mosaic4(index, rng, partners, memo)
                 img, labels_xyxy, segs_px = random_perspective(
                     img, labels_xyxy, rng, border=border, segments=segs_px, **aff)
             elif self.kpts is not None:
-                img, labels_xyxy, kpts_px = self._mosaic4(index, rng)
+                img, labels_xyxy, kpts_px = self._mosaic4(index, rng, partners, memo)
                 img, labels_xyxy, kpts_px = random_perspective(
                     img, labels_xyxy, rng, border=border, keypoints=kpts_px, **aff)
             else:
-                img, labels_xyxy = self._mosaic4(index, rng)
+                img, labels_xyxy = self._mosaic4(index, rng, partners, memo)
                 img, labels_xyxy = random_perspective(
                     img, labels_xyxy, rng, border=border, **aff)
                 if rng.random() < self._hyp("mixup"):
-                    idx2 = int(rng.integers(0, len(self)))
-                    img2, labels2 = self._mosaic4(idx2, rng)
+                    idx2 = self._pick_partner(rng, partners)
+                    img2, labels2 = self._mosaic4(idx2, rng, partners, memo)
                     img2, labels2 = random_perspective(
                         img2, labels2, rng, border=border, **aff)
                     img, labels_xyxy = mixup(img, labels_xyxy, img2, labels2, rng)
