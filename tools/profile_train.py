@@ -34,9 +34,13 @@ def main(imgsz: int = 640, batch: int = 16, iters: int = 30, max_boxes: int = 64
     from yolo_sod_tpu.nn.tasks import DetectionModel
     from yolo_sod_tpu.utils.loss import DetectionLoss
 
+    import os
+    per_level = os.environ.get("YS_PER_LEVEL", "0") == "1"   # A/B the criterion form
     model = DetectionModel("yolov12-sod-fusion-v5-simple.yaml")
     model.init(imgsz=imgsz)
-    criterion = DetectionLoss(nc=model.nc, strides=model.graph.detect_strides)
+    criterion = DetectionLoss(nc=model.nc, strides=model.graph.detect_strides,
+                              per_level=per_level)
+    print(f"criterion per_level={per_level}")
     tx = build_optimizer(model.variables["params"], name="SGD", lr=0.01,
                          momentum=0.937, nc=model.nc)
     state = init_train_state(model, tx)

@@ -156,6 +156,7 @@ class HUBTrainingSession:
             model_id = str(body["id"])
         self.model_id = model_id
         self.model_url = f"{self.endpoint}/v1/models/{self.model_id}"
+        self._stop = threading.Event()
         self._hb = threading.Thread(target=self._heartbeat_loop,
                                     args=(heartbeat_interval,), daemon=True)
         self._hb.start()
@@ -167,20 +168,26 @@ class HUBTrainingSession:
         return {**h, **(extra or {})}
 
     def _request(self, method: str, path: str, payload=None, thread=False,
-                 raw: Optional[bytes] = None, extra_headers=None):
+                 raw: Optional[bytes] = None, extra_headers=None, **kw):
         data = raw if raw is not None else (
             json.dumps(payload).encode() if payload is not None else None)
         headers = self._headers(extra_headers)
         if raw is not None:
             headers["Content-Type"] = "application/octet-stream"
         return smart_request(method, f"{self.endpoint}{path}", data=data,
-                             headers=headers, thread=thread)
+                             headers=headers, thread=thread, **kw)
 
     def _heartbeat_loop(self, interval: float):
+        # Liveness pings never retry and never log: a missed beat is normal
+        # (the collector marks the model stale), and a retrying daemon
+        # thread can outlive the interpreter and spray logging errors at
+        # teardown. The Event lets close() stop the loop immediately.
         while self.alive:
             self._request("POST", f"/v1/models/{self.model_id}/heartbeat",
-                          {"agent": "yolo-sod-tpu"}, thread=True)
-            time.sleep(interval)
+                          {"agent": "yolo-sod-tpu"}, thread=True,
+                          retry=0, verbose=False)
+            if self._stop.wait(interval):
+                return
 
     # -- trainer hooks ------------------------------------------------------
     def attach(self, trainer):
@@ -234,3 +241,4 @@ class HUBTrainingSession:
 
     def close(self, *_):
         self.alive = False
+        self._stop.set()

@@ -74,6 +74,73 @@ def topk_mask_lastdim(x, k: int, chunk: int = 256):
     return mask
 
 
+def topk_mask_multilevel(xs, k: int):
+    """Per-level boolean masks whose concatenation equals
+    ``topk_mask_lastdim(jnp.concatenate(xs, -1), k)`` — without ever
+    building the concatenated tensor.
+
+    The criterion's per-level form (utils/loss.py) keeps every (B, M, A_l)
+    tensor level-local so XLA never materializes the A-axis concat or its
+    gradient splits; the TAL top-k is the one genuinely cross-level
+    reduction, decomposed here in two passes:
+
+      1. per-level top-min(k, A_l) candidates via argmax-with-exclusion
+         rounds (same aggregate traffic as the dense mask: k passes over
+         each level's row);
+      2. the <= L*k candidate (value, concat-index) pairs — a tiny
+         (*batch, L*k) tensor — are ranked by (value desc, index asc),
+         which is exactly lax.top_k's lowest-index tie order on the
+         concat; the k-th pair becomes a threshold re-applied per level.
+
+    Priorities are distinct (indices are unique), so the threshold test
+    ``x > v* or (x == v* and idx <= g*)`` selects exactly k entries.
+    """
+    total = sum(x.shape[-1] for x in xs)
+    k = min(k, total)
+    if k == total:
+        return [jnp.ones(x.shape, bool) for x in xs]
+    neg = jnp.asarray(-jnp.inf, xs[0].dtype)
+    cand_vals, cand_gidx = [], []
+    offset = 0
+    for x in xs:
+        A = x.shape[-1]
+        kk = min(k, A)
+        ar = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        m = jnp.zeros(x.shape, bool)
+        for _ in range(kk):
+            xm = jnp.where(m, neg, x)
+            idx = jnp.argmax(xm, axis=-1)                 # lowest index on ties
+            cand_vals.append(jnp.take_along_axis(xm, idx[..., None], axis=-1)[..., 0])
+            cand_gidx.append(idx + offset)
+            m = m | (ar == idx[..., None])
+        offset += A
+    cv = jnp.stack(cand_vals, axis=-1)                    # (*b, C)
+    cg = jnp.stack(cand_gidx, axis=-1)                    # (*b, C)
+    # k-th (value desc, concat-index asc) among the tiny candidate set:
+    # the index tie-break folds into one argmax key because indices are
+    # bounded — rank = value * (total+1) - index is monotone in the pair
+    # order only for exact arithmetic, so instead run k exclusion rounds
+    # with an explicit two-reduce tie-break per round (C <= L*k is tiny).
+    sel = jnp.zeros(cv.shape, bool)
+    v_k = None
+    g_k = None
+    for _ in range(k):
+        vm = jnp.where(sel, neg, cv)
+        v_k = vm.max(axis=-1)                             # round max value
+        at_max = (vm == v_k[..., None]) & ~sel
+        g_k = jnp.where(at_max, cg, total).min(axis=-1)   # lowest concat index
+        sel = sel | (at_max & (cg == g_k[..., None]))
+    offset = 0
+    out = []
+    for x in xs:
+        A = x.shape[-1]
+        gl = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) + offset
+        out.append((x > v_k[..., None]) |
+                   ((x == v_k[..., None]) & (gl <= g_k[..., None])))
+        offset += A
+    return out
+
+
 def stable_softmax_lowp(logits, axis: int = -1):
     """Max-subtracted softmax with f32 denominator, low-precision tensors.
 

@@ -77,14 +77,85 @@ class DetectionLoss:
 
     def __init__(self, nc: int, strides: Sequence[int], reg_max: int = 16,
                  box_gain: float = 7.5, cls_gain: float = 0.5, dfl_gain: float = 1.5,
-                 tal_topk: int = 10):
+                 tal_topk: int = 10, per_level: bool = False):
         self.nc = nc
         self.strides = tuple(strides)
         self.reg_max = reg_max
         self.no = nc + reg_max * 4
         self.gains = (box_gain, cls_gain, dfl_gain)
+        self.per_level = per_level
         self.assigner = TaskAlignedAssigner(topk=tal_topk, num_classes=nc,
                                             alpha=0.5, beta=6.0)
+
+    def _call_per_level(self, feats: Sequence[jax.Array], batch: dict):
+        """Level-local criterion: numerically equal to the dense path (same
+        ops on per-level slices; only fp summation order differs) with no
+        grad-carrying tensor on the concatenated anchor axis.
+
+        MEASURED PERF-NEUTRAL on v5e (89.28 ms/step both forms,
+        back-to-back A/B; the multilevel top-k merge variant is 1.7 ms
+        SLOWER — its per-round candidate gathers serialize): the A-axis
+        concat seams this was built to kill were already fused away after
+        split_feats. Kept off by default as an exactness-tested alternative
+        form (tests/test_loss_per_level.py) for shapes where the concat
+        does materialize (very large A, many levels)."""
+        B = feats[0].shape[0]
+        dtype = jnp.float32
+        nd = self.reg_max * 4
+        proj = jnp.arange(self.reg_max, dtype=dtype)
+
+        scale_first = self.strides[0]
+        img_h = feats[0].shape[1] * scale_first
+        img_w = feats[0].shape[2] * scale_first
+        scale = jnp.array([img_w, img_h, img_w, img_h], dtype)
+        gt_bboxes = xywh2xyxy(batch["bboxes"].astype(dtype) * scale)   # (B, M, 4)
+        gt_labels = batch["cls"].astype(dtype)[..., None]              # (B, M, 1)
+        mask_gt = batch["mask_gt"].astype(dtype)[..., None]            # (B, M, 1)
+        gt_bboxes = gt_bboxes * mask_gt
+
+        scores_l, pd_l, boxes_l, anchors_l = [], [], [], []
+        for f, s in zip(feats, self.strides):
+            pdist = f[..., :nd].reshape(B, -1, nd).astype(dtype)
+            scores_l.append(f[..., nd:].reshape(B, -1, self.nc).astype(dtype))
+            ap, _ = make_anchors([(f.shape[1], f.shape[2])], [s])      # (A_l, 2) grid units
+            anchors_l.append(ap)
+            pd = pdist.reshape(B, -1, 4, self.reg_max)
+            pd_l.append(pd)
+            ltrb = jnp.einsum("bafc,c->baf", jax.nn.softmax(pd, axis=-1), proj)
+            boxes_l.append(dist2bbox(ltrb, ap[None], xywh=False))      # grid units
+
+        sg = jax.lax.stop_gradient
+        t_labels, t_bboxes, t_scores, fg_l, _ = self.assigner.assign_per_level(
+            [sg(jax.nn.sigmoid(ps)) for ps in scores_l],
+            [sg(pb) * s for pb, s in zip(boxes_l, self.strides)],
+            [ap * s for ap, s in zip(anchors_l, self.strides)],
+            gt_labels, gt_bboxes, mask_gt,
+        )
+
+        target_scores_sum = jnp.maximum(
+            sum(ts.sum() for ts in t_scores), 1.0)
+
+        loss_cls = sum(_bce_with_logits(ps, ts).sum()
+                       for ps, ts in zip(scores_l, t_scores)) / target_scores_sum
+
+        loss_box = 0.0
+        loss_dfl = 0.0
+        for l, s in enumerate(self.strides):
+            fg = fg_l[l].astype(dtype)[..., None]                      # (B, A_l, 1)
+            tb = t_bboxes[l] / s                                       # grid units
+            weight = t_scores[l].sum(-1, keepdims=True)
+            iou = bbox_iou(boxes_l[l], tb, xywh=False, CIoU=True)
+            loss_box = loss_box + (((1.0 - iou) * weight) * fg).sum()
+            target_ltrb = bbox2dist(anchors_l[l][None], tb, self.reg_max)
+            ldfl = dfl_loss(pd_l[l], target_ltrb, self.reg_max)
+            loss_dfl = loss_dfl + ((ldfl * weight) * fg).sum()
+        loss_box = loss_box / target_scores_sum
+        loss_dfl = loss_dfl / target_scores_sum
+
+        bg, cg, dg = self.gains
+        items = jnp.stack([loss_box * bg, loss_cls * cg, loss_dfl * dg])
+        total = items.sum() * B
+        return total, jax.lax.stop_gradient(items)
 
     def __call__(self, feats: Sequence[jax.Array], batch: dict):
         """Compute (total_loss, loss_items).
@@ -100,6 +171,8 @@ class DetectionLoss:
             total: scalar = (box*7.5 + cls*0.5 + dfl*1.5).sum() * B,
             items: (3,) detached [box, cls, dfl] components.
         """
+        if self.per_level and len(feats) > 1:
+            return self._call_per_level(feats, batch)
         B = feats[0].shape[0]
         dtype = jnp.float32
         pred_distri, pred_scores = split_feats(feats, self.reg_max, self.no)
