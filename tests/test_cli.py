@@ -92,3 +92,48 @@ def test_entrypoint_special_modes(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     entrypoint("yolo-sod copy-cfg")
     assert (tmp_path / "default_copy.yaml").exists()
+
+
+def test_facade_add_callback_forwards():
+    """Model.add_callback registers per-event user callbacks and the facade
+    forwards them into every trainer/predictor it creates (reference
+    Model.add_callback engine/model.py:831, used by root train_all.py's
+    cb_p2_gate)."""
+    from yolo_sod_tpu import YOLO
+    from yolo_sod_tpu.engine.trainer import DetectionTrainer
+
+    m = YOLO("E1.yaml")
+    hits = []
+    m.add_callback("on_train_epoch_start", lambda tr: hits.append(tr.epoch))
+
+    tr = DetectionTrainer(overrides={"mode": "train"}, model=m.model)
+    m._forward_callbacks(tr)
+    tr.epoch = 7
+    tr.run_callbacks("on_train_epoch_start")
+    assert hits == [7]
+
+    m.clear_callback("on_train_epoch_start")
+    assert m.callbacks["on_train_epoch_start"] == []
+    m.add_callback("teardown", lambda tr: None)
+    m.reset_callbacks()
+    assert m.callbacks == {}
+
+
+def test_train_all_experiment_table():
+    """The E1-E6 ablation sweep (root train_all.py analog) names only bundled
+    configs, in the reference's ablation order."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    try:
+        import train_all
+    finally:
+        sys.path.pop(0)
+
+    from yolo_sod_tpu.nn.tasks import yaml_model_load
+
+    names = [y for _, y in train_all.EXPERIMENTS]
+    assert names == [f"E{i}.yaml" for i in range(1, 7)]
+    for _, yaml_name in train_all.EXPERIMENTS:
+        yaml_model_load(yaml_name)  # raises if the bundled file is missing

@@ -20,6 +20,7 @@ class Model:
     def __init__(self, model: str | dict = "yolov12-sod-fusion-v5-simple.yaml",
                  task: Optional[str] = None, verbose: bool = False):
         self.overrides: dict[str, Any] = {}
+        self.callbacks: dict[str, list] = {}
         self._task_forced = task
         self.task = task or "detect"
         self.trainer = None
@@ -118,6 +119,8 @@ class Model:
         if self.predictor is None:
             predictor_cls = self.task_map[self.task]["predictor"]
             self.predictor = predictor_cls(overrides=args)
+            for event, funcs in self.callbacks.items():
+                self.predictor.callbacks.setdefault(event, []).extend(funcs)
             self.predictor.setup_model(self.model)
         else:
             self.predictor.args = get_cfg(self.predictor.args, args)
@@ -148,11 +151,34 @@ class Model:
             out.append(np.asarray(fn(self.model.variables, x))[0])
         return out
 
+    # -- callbacks -------------------------------------------------------
+    def add_callback(self, event: str, func) -> None:
+        """Register a user callback for a bus event; it is forwarded to every
+        trainer/predictor this facade creates (reference Model.add_callback,
+        engine/model.py:831)."""
+        self.callbacks.setdefault(event, []).append(func)
+        if self.predictor is not None:
+            self.predictor.callbacks.setdefault(event, []).append(func)
+
+    def clear_callback(self, event: str) -> None:
+        """Drop all user callbacks for one event (reference :845)."""
+        self.callbacks[event] = []
+
+    def reset_callbacks(self) -> None:
+        """Drop all user callbacks (reference :854)."""
+        self.callbacks = {}
+
+    def _forward_callbacks(self, target) -> None:
+        for event, funcs in self.callbacks.items():
+            for f in funcs:
+                target.add_callback(event, f)
+
     def train(self, **kwargs):
         """Train the model; returns metrics."""
         trainer_cls = self.task_map[self.task]["trainer"]
         args = {**self.overrides, **kwargs, "mode": "train"}
         self.trainer = trainer_cls(overrides=args, model=self.model)
+        self._forward_callbacks(self.trainer)
         self.trainer.train()
         # The trainer may rebuild the head for the dataset's nc
         # (trainer.py:151-153); adopt its model so later val()/predict()
