@@ -152,3 +152,51 @@ def test_oks():
     assert sim.shape == (1, 1) and sim[0, 0] > 0.99
     far = gt[:, :, :2] + 50
     assert oks(gt, far, np.array([400.0]))[0, 0] < 0.2
+
+
+def test_auto_annotate_writes_segment_labels(tmp_path):
+    """auto_annotate: detector boxes -> SAM masks -> normalized YOLO segment
+    label files (upstream data/annotator.py contract). Driven with stub
+    models so the test pins the orchestration + label format, not the nets."""
+    import cv2
+
+    from yolo_sod_tpu.data import auto_annotate
+    from yolo_sod_tpu.engine.results import Results
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    img = np.zeros((80, 120, 3), np.uint8)
+    cv2.imwrite(str(img_dir / "a.jpg"), img)
+
+    class StubDet:
+        def predict(self, source, **kw):
+            im = cv2.imread(str(Path(source) / "a.jpg"))
+            boxes = np.array([[10, 10, 50, 40, 0.9, 2],
+                              [60, 20, 110, 70, 0.8, 0]], np.float32)
+            return iter([Results(im, str(Path(source) / "a.jpg"),
+                                 {0: "x", 2: "y"}, boxes=boxes)])
+
+    class StubSAM:
+        def predict(self, im, bboxes=None, **kw):
+            h, w = im.shape[:2]
+            masks = np.zeros((len(bboxes), h, w), bool)
+            for i, (x1, y1, x2, y2) in enumerate(np.asarray(bboxes, int)):
+                masks[i, y1:y2, x1:x2] = True
+            det = np.zeros((len(bboxes), 6), np.float32)
+            return [Results(im, "a.jpg", {0: "object"}, boxes=det,
+                            masks=masks)]
+
+    out = auto_annotate(img_dir, det_model=StubDet(), sam_model=StubSAM(),
+                        output_dir=tmp_path / "labels")
+    txt = (out / "a.txt").read_text().strip().splitlines()
+    assert len(txt) == 2
+    for line, want_cls in zip(txt, (2, 0)):
+        parts = line.split()
+        assert int(parts[0]) == want_cls
+        coords = np.array(parts[1:], np.float32)
+        assert len(coords) >= 6 and len(coords) % 2 == 0
+        assert (coords >= 0).all() and (coords <= 1).all()
+    # the first mask's polygon should hug its box (10..50 x, 10..40 y, norm)
+    c0 = np.array(txt[0].split()[1:], np.float32).reshape(-1, 2)
+    assert abs(c0[:, 0].min() - 10 / 120) < 0.02
+    assert abs(c0[:, 1].max() - (40 - 1) / 80) < 0.03

@@ -11,6 +11,7 @@ STATIC per-dataset max-boxes M (the TAL assigner compiles on (B, M, A) — a
 per-batch dynamic M would retrace every step).
 """
 
+from yolo_sod_tpu.data.annotator import auto_annotate
 from yolo_sod_tpu.data.build import (YOLOConcatDataset, build_dataloader,
                                      build_grounding, build_yolo_dataset)
 from yolo_sod_tpu.data.dataset import YOLODataset
@@ -18,5 +19,5 @@ from yolo_sod_tpu.data.grounding import GroundingDataset
 from yolo_sod_tpu.data.utils import check_det_dataset
 
 __all__ = ["YOLODataset", "GroundingDataset", "YOLOConcatDataset",
-           "build_dataloader", "build_grounding", "build_yolo_dataset",
-           "check_det_dataset"]
+           "auto_annotate", "build_dataloader", "build_grounding",
+           "build_yolo_dataset", "check_det_dataset"]
