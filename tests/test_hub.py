@@ -154,3 +154,45 @@ def test_trainer_attach_smoke(collector):
     for cb in t.callbacks["teardown"]:
         cb(t)
     assert s.alive is False
+
+
+def test_smart_request_retries_after_transient_failure():
+    """A refused connection (fast URLError) must be retried up to `retry`
+    times within the total budget — regression: the old code compared
+    elapsed against the PER-REQUEST timeout, so any timeout-class failure
+    killed the loop on attempt 0 (VERDICT-class retry-dead bug)."""
+    import threading
+    import time
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from yolo_sod_tpu.hub.client import smart_request
+
+    hits = []
+
+    class Flaky(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            hits.append(time.time())
+            if len(hits) < 3:                    # two 500s, then success
+                self.send_response(500)
+                self.end_headers()
+                return
+            body = b'{"ok": true}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = HTTPServer(("127.0.0.1", 0), Flaky)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, payload = smart_request(
+            "POST", f"http://127.0.0.1:{srv.server_port}/x", data=b"{}",
+            retry=3, timeout=30.0, verbose=False)
+        assert code == 200 and payload == {"ok": True}
+        assert len(hits) == 3
+    finally:
+        srv.shutdown()

@@ -304,3 +304,11 @@ def test_format_converters_match_reference():
     np.testing.assert_allclose(
         segments2boxes([seg, seg * 0.5]),
         rops.segments2boxes([seg, seg * 0.5]), atol=1e-4)
+    # resample: up (merged original vertices, ring order), down, exact-n
+    from yolo_sod_tpu.ops import resample_segments
+
+    for m in (40, 8, 12):
+        ours = resample_segments([seg.copy()], n=m)[0]
+        ref = rops.resample_segments([seg.copy()], n=m)[0]
+        assert ours.shape == (m, 2)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)

@@ -267,3 +267,29 @@ def test_loader_determinism_with_batch_context(dataset_yaml):
     a, b = first_batch(), first_batch()
     assert np.array_equal(a["img"], b["img"])
     assert np.array_equal(a["bboxes"], b["bboxes"])
+
+
+def test_workers_knob_reaches_loader(dataset_yaml):
+    """The cfg 'workers' knob must control the loader thread pool, and an
+    explicit workers=0 must mean minimal threading, not the host default
+    (regression: no caller forwarded args.workers and the loader treated 0
+    as unset)."""
+    from yolo_sod_tpu.data import build_dataloader, check_det_dataset
+    from yolo_sod_tpu.data.build import DataLoader
+    from yolo_sod_tpu.data.dataset import YOLODataset
+
+    data = check_det_dataset(dataset_yaml)
+    ds = YOLODataset(data["train"], imgsz=64, hyp={"mosaic": 0.0},
+                 nc=data["nc"], names=data["names"])
+    assert build_dataloader(ds, 2, workers=0).workers == 1
+    assert build_dataloader(ds, 2, workers=3).workers == 3
+    assert DataLoader(ds, 2, workers=None).workers >= 1   # host default
+
+    from yolo_sod_tpu.engine.trainer import DetectionTrainer
+
+    tr = DetectionTrainer(overrides=dict(
+        model="E1.yaml", data=str(dataset_yaml), epochs=1, imgsz=64, batch=2,
+        val=False, plots=False, save=False, workers=2, mosaic=0.0,
+        warmup_epochs=0))
+    tr._setup_train()
+    assert tr.train_loader.workers == 2

@@ -237,7 +237,22 @@ def test_world_trainer_from_scratch_grounding(tmp_path):
                            grounding_data=[dict(img_path=str(gdir),
                                                 json_file=str(gdir / "ann.json"))]),
                 val=dict(yolo_data=[str(root / "data.yaml")]))
-    tr = WorldTrainerFromScratch(overrides=dict(
+    seen = []
+
+    class SpyTrainer(WorldTrainerFromScratch):
+        """Record what preprocess_batch actually receives: the train loop must
+        deliver the host-side per-image vocabularies ('texts') and the jitted
+        step must never see them (regression: the dev-batch key filter used
+        to drop 'texts' before preprocess, silently falling back to the
+        closed-set guide)."""
+
+        def preprocess_batch(self, batch):
+            had = "texts" in batch
+            out = super().preprocess_batch(batch)
+            seen.append((had, "txt_feats" in out, "texts" not in out))
+            return out
+
+    tr = SpyTrainer(overrides=dict(
         model="yolov8n-world.yaml", data=spec, epochs=1, imgsz=64, batch=2,
         val=False, plots=False, save=False, workers=0, mosaic=0.0,
         warmup_epochs=0, project=str(tmp_path / "runs")))
@@ -245,3 +260,55 @@ def test_world_trainer_from_scratch_grounding(tmp_path):
     assert isinstance(tr.trainset, YOLOConcatDataset)
     assert len(tr.trainset) == 4
     assert tr.model.nc == 2                      # val dataset vocabulary
+    assert seen and all(had for had, _, _ in seen), \
+        "per-image vocabularies never reached preprocess_batch"
+    assert all(fe and clean for _, fe, clean in seen)
+
+
+def test_world_embed_injects_guide():
+    """Model.embed on a World model must inject the text guide — the neck's
+    C2fAttn layers sit before the default embed index (regression: embed
+    replayed the graph with guide=None and crashed in MaxSigmoidAttnBlock)."""
+    import numpy as np
+
+    from yolo_sod_tpu.models.world import YOLOWorld
+
+    m = YOLOWorld("yolov8n-world.yaml")
+    img = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    (vec,) = m.embed(img, imgsz=64)
+    assert vec.ndim == 1 and vec.shape[0] > 0 and np.isfinite(vec).all()
+
+
+def test_fastsam_text_prompt_tiny_fragments():
+    """Text prompting must survive the all-tiny-regions case: the area gate
+    falls back to scoring every region instead of crashing CLIP on an empty
+    crop batch, and the argmax can only pick a region that was scored
+    (regression: -1e9 placeholder rows made argmax silently pick region 0)."""
+    from yolo_sod_tpu.engine.results import Results
+    from yolo_sod_tpu.models.fastsam import FastSAMPredictor
+
+    pred = FastSAMPredictor(overrides=dict(imgsz=64))
+    calls = []
+
+    class StubCLIP:
+        def image_text_similarity(self, crops, texts):
+            calls.append(len(crops))
+            assert crops and all(c.size > 0 for c in crops)
+            # score the LAST region highest
+            sim = np.zeros((len(texts), len(crops)), np.float32)
+            sim[:, -1] = 1.0
+            return sim
+
+    pred._clip = StubCLIP()
+    img = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    boxes = np.array([[2, 2, 20, 20, 0.9, 0], [30, 30, 60, 60, 0.8, 0]],
+                     np.float32)
+    masks = np.zeros((2, 16, 16), bool)
+    masks[0, 1:3, 1:3] = True               # tiny (< 100 px upscaled? yes: 4*16=64)
+    masks[1, 8:10, 8:10] = True             # tiny too
+    r = Results(img, "x.jpg", {0: "object"}, boxes=boxes, masks=masks)
+    out = pred._prompt(r, texts="a thing")
+    assert len(out) == 1
+    # the stub scored the last surviving region highest -> region 1 selected
+    np.testing.assert_allclose(out.boxes.xyxy[0], boxes[1, :4])
+    assert calls and calls[0] == 2           # fallback scored BOTH regions

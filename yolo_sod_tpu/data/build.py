@@ -115,7 +115,10 @@ class DataLoader:
         # TPU hosts have dozens of cores; cv2 releases the GIL), capped so a
         # 1-core dev box is not oversubscribed.
         import os as _os
-        self.workers = workers or min(8, (_os.cpu_count() or 1) + 3)
+        # workers=None -> host-scaled default; an explicit 0 means "minimal
+        # threading" (one worker), it must not silently re-enable the default.
+        self.workers = min(8, (_os.cpu_count() or 1) + 3) if workers is None \
+            else max(1, int(workers))
         self.epoch = 0
 
     def __len__(self):
@@ -292,7 +295,8 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
     )
 
 
-def build_dataloader(dataset: YOLODataset, batch: int, workers: int = 8,
+def build_dataloader(dataset: YOLODataset, batch: int,
+                     workers: Optional[int] = None,
                      shuffle: bool = True, seed: int = 0,
                      max_boxes: Optional[int] = None) -> DataLoader:
     return DataLoader(dataset, batch_size=batch, shuffle=shuffle, seed=seed,

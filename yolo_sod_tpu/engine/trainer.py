@@ -89,6 +89,9 @@ class DetectionTrainer:
     task = "detect"
     loss_names = ("box_loss", "cls_loss", "dfl_loss")
     batch_extra_keys: tuple = ()
+    # Host-side batch keys preprocess_batch consumes and must POP before the
+    # batch ships to the jitted step (e.g. the grounding per-image "texts").
+    host_batch_keys: tuple = ()
 
     def __init__(self, overrides: Optional[dict] = None, model=None, _callbacks=None):
         self.args = get_cfg(DEFAULT_CFG_DICT, overrides or {})
@@ -180,6 +183,7 @@ class DetectionTrainer:
         self.trainset = self.build_dataset(self.data["train"], mode="train",
                                            batch=args.batch)
         self.train_loader = build_dataloader(self.trainset, int(args.batch),
+                                             workers=getattr(args, "workers", None),
                                              shuffle=True, seed=args.seed)
         self.nb = len(self.train_loader)  # batches per epoch
 
@@ -369,7 +373,8 @@ class DetectionTrainer:
                 self._warmup(ni, epoch)
                 dev_batch = {k: batch[k]
                              for k in ("img", "cls", "bboxes", "mask_gt",
-                                       *self.batch_extra_keys) if k in batch}
+                                       *self.batch_extra_keys,
+                                       *self.host_batch_keys) if k in batch}
                 dev_batch = self.preprocess_batch(dev_batch)
                 if self.mesh is not None:
                     if "spatial" in self.mesh.axis_names:

@@ -27,6 +27,38 @@ from yolo_sod_tpu.utils import LOGGER, colorstr
 from yolo_sod_tpu.utils.metrics import ConfusionMatrix, DetMetrics, box_iou, match_predictions
 
 
+def pipelined_batches(dataloader, dispatch):
+    """One-batch-deep async val pipeline, shared by all four box tasks.
+
+    Dispatches batch i+1 before fetching batch i's outputs, so device
+    compute and the host->device image upload overlap the host-side metric
+    matching of the previous batch. Yields
+    (fetched_outputs_tuple, batch, nb, h_im, w_im); the final partial batch
+    is padded to the compiled bucket shape instead of retracing.
+    """
+    B = dataloader.batch_size
+    pending = None
+
+    def fetch(entry):
+        outs, batch, nb, h_im, w_im = entry
+        return tuple(np.asarray(jax.device_get(o)) for o in outs), \
+            batch, nb, h_im, w_im
+
+    for batch in dataloader:
+        img = batch["img"]
+        nb = img.shape[0]
+        if nb < B:
+            img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
+        h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
+        outs = dispatch(jnp.asarray(img))
+        entry = (outs, batch, nb, h_im, w_im)
+        if pending is not None:
+            yield fetch(pending)
+        pending = entry
+    if pending is not None:
+        yield fetch(pending)
+
+
 def scale_boxes_np(boxes: np.ndarray, ratio_pad, ori_shape) -> np.ndarray:
     """Un-letterbox xyxy boxes to original-image pixels (reference ops.py:92)."""
     r, (dw, dh) = ratio_pad
@@ -105,7 +137,9 @@ class DetectionValidator:
                                          else int(max(model.stride)))
             if backend is not None:
                 dataset.rect_shapes = None
-            self.dataloader = build_dataloader(dataset, args.batch, shuffle=False)
+            self.dataloader = build_dataloader(dataset, args.batch,
+                                               workers=getattr(args, "workers", None),
+                                               shuffle=False)
 
         imgsz = args.imgsz
         conf = args.conf if args.conf not in (None, 0) else 0.001
@@ -135,43 +169,21 @@ class DetectionValidator:
         else:
             self.class_map = list(range(1000))
         n_images = 0
-        B = self.dataloader.batch_size
 
-        t_inf = t_post = 0.0
-        # One-batch-deep software pipeline: JAX dispatch is async, so issuing
-        # batch i+1 before fetching batch i overlaps device compute with the
-        # host-side fetch + metric matching of the previous batch.
-        pending = None   # (det_dev, n_dev, batch, nb, h_im, w_im)
-
-        def drain(entry):
-            nonlocal t_inf, t_post
-            det_dev, n_dev, batch, nb, h_im, w_im = entry
-            t0 = time.perf_counter()
-            det = np.asarray(jax.device_get(det_dev))
-            n_valid = np.asarray(jax.device_get(n_dev))
-            t_inf += time.perf_counter() - t0
+        # One-batch-deep software pipeline (pipelined_batches, shared with
+        # the segment/pose/OBB validators): dispatch batch i+1 before
+        # fetching batch i. Per-stage attribution under overlap is fuzzy, so
+        # "inference" = wall - host-side matching.
+        t_post = 0.0
+        t_wall0 = time.perf_counter()
+        for (det, n_valid), batch, nb, h_im, w_im in pipelined_batches(
+                self.dataloader, lambda img: fn(dev_variables, img)):
+            n_images += nb
             t0 = time.perf_counter()
             self._accumulate(det, n_valid, batch, nb, h_im, w_im, stats,
                              confusion, args)
             t_post += time.perf_counter() - t0
-
-        for batch in self.dataloader:
-            img = batch["img"]
-            nb = img.shape[0]
-            if nb < B:  # pad final partial batch to the compiled bucket shape
-                pad = np.repeat(img[-1:], B - nb, axis=0)
-                img = np.concatenate([img, pad], axis=0)
-            h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
-            n_images += nb
-            t0 = time.perf_counter()
-            det_dev, n_dev = fn(dev_variables, jnp.asarray(img))
-            t_inf += time.perf_counter() - t0
-            entry = (det_dev, n_dev, batch, nb, h_im, w_im)
-            if pending is not None:
-                drain(pending)
-            pending = entry
-        if pending is not None:
-            drain(pending)
+        t_inf = max(time.perf_counter() - t_wall0 - t_post, 0.0)
 
         if stats["tp"]:
             tp = np.concatenate(stats["tp"], 0)

@@ -15,7 +15,8 @@ import numpy as np
 
 from yolo_sod_tpu.data import build_dataloader, build_yolo_dataset, check_det_dataset
 from yolo_sod_tpu.data.augment import xywhn2xyxy
-from yolo_sod_tpu.engine.validator import DetectionValidator
+from yolo_sod_tpu.engine.validator import (DetectionValidator,
+                                           pipelined_batches)
 from yolo_sod_tpu.ops.decode import decode_detections
 from yolo_sod_tpu.ops.nms import non_max_suppression
 from yolo_sod_tpu.ops.numerics import image_to_compute
@@ -33,36 +34,6 @@ def mask_iou(pred: np.ndarray, gt: np.ndarray, eps: float = 1e-7) -> np.ndarray:
     return inter / (union + eps)
 
 
-def pipelined_batches(dataloader, dispatch):
-    """One-batch-deep async val pipeline (engine/validator.py doctrine).
-
-    Dispatches batch i+1 before fetching batch i's outputs, so device
-    compute and the host->device image upload overlap the host-side metric
-    matching of the previous batch. Yields
-    (fetched_outputs_tuple, batch, nb, h_im, w_im); the final partial batch
-    is padded to the compiled bucket shape instead of retracing.
-    """
-    B = dataloader.batch_size
-    pending = None
-
-    def fetch(entry):
-        outs, batch, nb, h_im, w_im = entry
-        return tuple(np.asarray(jax.device_get(o)) for o in outs), \
-            batch, nb, h_im, w_im
-
-    for batch in dataloader:
-        img = batch["img"]
-        nb = img.shape[0]
-        if nb < B:
-            img = np.concatenate([img, np.repeat(img[-1:], B - nb, 0)], 0)
-        h_im, w_im = img.shape[1:3]   # rect buckets: per-batch canvas
-        outs = dispatch(jnp.asarray(img))
-        entry = (outs, batch, nb, h_im, w_im)
-        if pending is not None:
-            yield fetch(pending)
-        pending = entry
-    if pending is not None:
-        yield fetch(pending)
 
 
 class SegmentMetrics(DetMetrics):
@@ -130,7 +101,9 @@ class SegmentationValidator(DetectionValidator):
             dataset = build_yolo_dataset(cfg, data["val"], args.batch, data,
                                          mode="val", stride=int(max(model.stride)),
                                          task="segment")
-            self.dataloader = build_dataloader(dataset, args.batch, shuffle=False)
+            self.dataloader = build_dataloader(dataset, args.batch,
+                                               workers=getattr(args, "workers", None),
+                                               shuffle=False)
 
         conf = args.conf if args.conf not in (None, 0) else 0.001
         fn = self._build_fn(model, conf, args.iou, args.max_det)
@@ -264,7 +237,9 @@ class PoseValidator(DetectionValidator):
             dataset = build_yolo_dataset(cfg, data["val"], args.batch, data,
                                          mode="val", stride=int(max(model.stride)),
                                          task="pose")
-            self.dataloader = build_dataloader(dataset, args.batch, shuffle=False)
+            self.dataloader = build_dataloader(dataset, args.batch,
+                                               workers=getattr(args, "workers", None),
+                                               shuffle=False)
 
         conf = args.conf if args.conf not in (None, 0) else 0.001
         fn = self._build_fn(model, conf, args.iou, args.max_det)
@@ -358,7 +333,9 @@ class OBBValidator(DetectionValidator):
             dataset = build_yolo_dataset(cfg, data["val"], args.batch, data,
                                          mode="val", stride=int(max(model.stride)),
                                          task="obb")
-            self.dataloader = build_dataloader(dataset, args.batch, shuffle=False)
+            self.dataloader = build_dataloader(dataset, args.batch,
+                                               workers=getattr(args, "workers", None),
+                                               shuffle=False)
 
         conf = args.conf if args.conf not in (None, 0) else 0.001
         fn = self._build_fn(model, conf, args.iou, args.max_det)

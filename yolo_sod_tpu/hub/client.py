@@ -57,32 +57,44 @@ def smart_request(method: str, url: str, data: Optional[bytes] = None,
     headers = {"Content-Type": "application/json", **(headers or {})}
 
     def _do():
+        # `timeout` is the TOTAL budget for the retry loop (reference
+        # semantics); each request gets the remaining slice of it, so a
+        # request that blocks its full slice still leaves the earlier,
+        # faster-failing attempts their backoff retries.
         t0 = time.time()
         for attempt in range(retry + 1):
+            remaining = timeout - (time.time() - t0)
+            if remaining <= 0:
+                break
             try:
                 req = urllib.request.Request(url, data=data, headers=headers,
                                              method=method)
-                with urllib.request.urlopen(req, timeout=timeout) as r:
+                with urllib.request.urlopen(req, timeout=remaining) as r:
                     body = r.read()
                     try:
                         return r.status, json.loads(body) if body else None
                     except json.JSONDecodeError:
                         return r.status, None
             except urllib.error.HTTPError as e:
-                if e.code not in RETRY_CODES or attempt == retry \
-                        or time.time() - t0 > timeout:
+                if e.code not in RETRY_CODES or attempt == retry:
                     if verbose:
                         LOGGER.warning(f"{PREFIX} {method} {url} -> {e.code}")
                     return e.code, None
             except (urllib.error.URLError, TimeoutError, OSError) as e:
-                if attempt == retry or time.time() - t0 > timeout:
+                if attempt == retry or time.time() - t0 >= timeout:
                     if verbose:
                         try:
                             LOGGER.warning(f"{PREFIX} {method} {url} failed: {e}")
                         except ValueError:
                             pass  # stream closed at interpreter teardown (daemon thread)
                     return None, None
-            time.sleep(min(2 ** attempt + random.random(), 8.0))
+            time.sleep(max(0.0, min(2 ** attempt + random.random(), 8.0,
+                                    timeout - (time.time() - t0))))
+        if verbose:
+            try:
+                LOGGER.warning(f"{PREFIX} {method} {url}: budget exhausted")
+            except ValueError:
+                pass
         return None, None
 
     if thread:

@@ -145,23 +145,37 @@ class FastSAMPredictor(SegmentationPredictor):
         (reference predict.py:102-116 + _clip_inference)."""
         from yolo_sod_tpu.utils.text_embed import CLIPTextEmbedder
 
-        path = os.environ.get("YOLO_SOD_CLIP_PATH")
-        if not path or not os.path.isdir(path):
-            raise RuntimeError(
-                "FastSAM text prompts need a local CLIP checkpoint: set "
-                "YOLO_SOD_CLIP_PATH to a transformers CLIP directory "
-                "(zero-egress deployments cannot download ViT-B/32)")
         if not hasattr(self, "_clip"):
+            path = os.environ.get("YOLO_SOD_CLIP_PATH")
+            if not path or not os.path.isdir(path):
+                raise RuntimeError(
+                    "FastSAM text prompts need a local CLIP checkpoint: set "
+                    "YOLO_SOD_CLIP_PATH to a transformers CLIP directory "
+                    "(zero-egress deployments cannot download ViT-B/32)")
             self._clip = CLIPTextEmbedder(path)
-        crops, keep = [], []
-        for i, bb in enumerate(result.boxes.xyxy.astype(int)):
-            if masks[i].sum() <= 100:        # tiny fragments are noise
-                continue
-            x1, y1, x2, y2 = bb
-            crops.append(result.orig_img[y1:y2, x1:x2, ::-1])  # BGR→RGB
-            keep.append(i)
+        h0, w0 = result.orig_shape
+
+        def _gather(min_area: int):
+            crops, keep = [], []
+            for i, bb in enumerate(result.boxes.xyxy.astype(int)):
+                if masks[i].sum() <= min_area:   # tiny fragments are noise
+                    continue
+                x1 = min(max(int(bb[0]), 0), w0 - 1)
+                y1 = min(max(int(bb[1]), 0), h0 - 1)
+                x2 = min(max(int(bb[2]), x1 + 1), w0)
+                y2 = min(max(int(bb[3]), y1 + 1), h0)
+                crops.append(result.orig_img[y1:y2, x1:x2, ::-1])  # BGR→RGB
+                keep.append(i)
+            return crops, keep
+
+        crops, keep = _gather(100)
+        if not crops:
+            # Every region is a tiny fragment — score them all rather than
+            # crash in CLIP on an empty batch (and rather than let the -1e9
+            # placeholder rows make argmax silently pick region 0).
+            crops, keep = _gather(-1)
         sim_kept = self._clip.image_text_similarity(crops, texts)  # (M, len(keep))
-        sim = np.full((len(texts), len(result)), -1e9, np.float32)
+        sim = np.full((len(texts), len(result)), -np.inf, np.float32)
         sim[:, keep] = sim_kept
         return sim
 

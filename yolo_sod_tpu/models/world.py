@@ -125,8 +125,12 @@ class WorldTrainerFromScratch(WorldTrainer):
             self._text_cache[text] = e
         return e
 
+    host_batch_keys = ("texts",)
+
     def preprocess_batch(self, batch: dict) -> dict:
-        texts = batch.get("texts")
+        # "texts" is a host-side list of per-image phrase vocabularies; it is
+        # consumed here and MUST NOT reach the jitted train step.
+        texts = batch.pop("texts", None)
         if not texts:
             return super().preprocess_batch(batch)
         K, D = int(self.data["nc"]), self.model.embed_dim

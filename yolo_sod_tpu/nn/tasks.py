@@ -720,6 +720,16 @@ class WorldModel(DetectionModel):
         out = self.net.apply(variables, x, train=False, guide=guide)
         return decode_detections(out, self.graph.detect_strides, self.nc)
 
+    def embed(self, variables, x, indices=None):
+        """As DetectionModel.embed, with the text guide injected — the neck's
+        C2fAttn layers sit before the default embed index and need it."""
+        if not indices:
+            indices = [len(self.graph.specs) - 2]
+        with self._deploy_ctx():
+            return self.net.apply(variables, x, train=False,
+                                  guide=jnp.asarray(self.txt_feats),
+                                  embed=tuple(int(i) for i in indices))
+
 
 class PoseModel(DetectionModel):
     """Detect + keypoints (reference tasks.py PoseModel)."""

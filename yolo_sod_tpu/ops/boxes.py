@@ -295,19 +295,26 @@ def segments2boxes(segments):
 
 
 def resample_segments(segments, n: int = 1000):
-    """Up/resample each closed polygon to n points by linear interpolation
-    (ops.py:606)."""
+    """Up/resample each closed polygon to exactly n points by linear
+    interpolation along the ring (ops.py:620). When upsampling, the original
+    vertices are merged into the interpolation grid in ring order (the
+    reference's searchsorted-insert), so the output is a valid monotone
+    traversal that passes through every input vertex."""
     import numpy as np
 
     out = []
     for s in segments:
         s = np.asarray(s, np.float32)
+        if len(s) == n:
+            out.append(s)
+            continue
         s = np.concatenate([s, s[0:1]], axis=0)        # close the ring
-        x = np.linspace(0, len(s) - 1, n - len(s) if n - len(s) > 0 else n)
         xp = np.arange(len(s))
+        x = np.linspace(0, len(s) - 1, n - len(s) if len(s) < n else n)
+        if len(s) < n:
+            x = np.insert(x, np.searchsorted(x, xp), xp)
         rs = np.stack([np.interp(x, xp, s[:, i]) for i in range(2)], -1)
-        out.append(np.concatenate([rs, s[:-1]] if n - len(s) > 0 else [rs])
-                   .astype(np.float32))
+        out.append(rs.astype(np.float32))
     return out
 
 
