@@ -200,3 +200,40 @@ def test_auto_annotate_writes_segment_labels(tmp_path):
     c0 = np.array(txt[0].split()[1:], np.float32).reshape(-1, 2)
     assert abs(c0[:, 0].min() - 10 / 120) < 0.02
     assert abs(c0[:, 1].max() - (40 - 1) / 80) < 0.03
+
+
+def test_convert_coco_writes_yolo_labels(tmp_path):
+    """convert_coco: COCO instance JSON -> normalized YOLO labels (upstream
+    data/converter.py contract): center-xywh, crowd skipped, 91->80 remap,
+    polygon tails with use_segments."""
+    import json
+
+    from yolo_sod_tpu.data.converter import convert_coco
+
+    ann = {
+        "images": [{"id": 7, "file_name": "im7.jpg", "height": 100,
+                    "width": 200}],
+        "annotations": [
+            # category 3 (car) -> 80-class id 2; box (10,20,w=40,h=30)
+            {"image_id": 7, "category_id": 3, "iscrowd": 0,
+             "bbox": [10, 20, 40, 30],
+             "segmentation": [[10, 20, 50, 20, 50, 50]]},
+            # crowd: skipped
+            {"image_id": 7, "category_id": 1, "iscrowd": 1,
+             "bbox": [0, 0, 10, 10], "segmentation": []},
+        ],
+    }
+    (tmp_path / "ann").mkdir()
+    (tmp_path / "ann" / "instances_val.json").write_text(json.dumps(ann))
+    out = convert_coco(tmp_path / "ann", save_dir=tmp_path / "out",
+                       use_segments=True)
+    txt = (out / "labels" / "val" / "im7.txt").read_text().strip().splitlines()
+    assert len(txt) == 1
+    parts = txt[0].split()
+    assert int(parts[0]) == 2
+    np.testing.assert_allclose(
+        [float(v) for v in parts[1:5]],
+        [(10 + 20) / 200, (20 + 15) / 100, 40 / 200, 30 / 100], atol=1e-6)
+    seg = np.array(parts[5:], np.float64).reshape(-1, 2)
+    np.testing.assert_allclose(seg, [[0.05, 0.2], [0.25, 0.2], [0.25, 0.5]],
+                               atol=1e-6)
