@@ -1,5 +1,7 @@
 """CLI entrypoint tests (reference test_cli.py doctrine, in-process)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -137,3 +139,26 @@ def test_train_all_experiment_table():
     assert names == [f"E{i}.yaml" for i in range(1, 7)]
     for _, yaml_name in train_all.EXPERIMENTS:
         yaml_model_load(yaml_name)  # raises if the bundled file is missing
+
+
+def test_cli_subprocess_smoke(tmp_path):
+    """The CLI works as an actual OS-level process (`python -m yolo_sod_tpu`),
+    the reference test_cli.py doctrine — everything else here drives
+    entrypoint() in-process."""
+    import os
+    import subprocess
+    import sys
+
+    import cv2
+
+    img = tmp_path / "im.jpg"
+    cv2.imwrite(str(img), np.zeros((48, 64, 3), np.uint8))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "YOLO_SOD_NO_NATIVE": os.environ.get("YOLO_SOD_NO_NATIVE", "")}
+    r = subprocess.run(
+        [sys.executable, "-m", "yolo_sod_tpu", "detect", "predict",
+         "model=E1.yaml", f"source={img}", "imgsz=64", "conf=0.25",
+         f"project={tmp_path / 'runs'}"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=str(Path(__file__).resolve().parents[1]))
+    assert r.returncode == 0, r.stderr[-2000:]
