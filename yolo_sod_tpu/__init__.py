@@ -17,6 +17,19 @@ Public surface mirrors the reference facade (reference: engine/model.py):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor JAX_PLATFORMS even when a PJRT plugin (e.g. the axon TPU tunnel)
+    # registers itself unconditionally and the env var alone is ignored:
+    # jax.config.update works as long as no backend has initialized yet.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized; the caller's choice stands
+
 from yolo_sod_tpu.engine.model import YOLO, Model
 
 __all__ = ["YOLO", "Model", "YOLOWorld", "FastSAM", "NAS", "RTDETR", "SAM",

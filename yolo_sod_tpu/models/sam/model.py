@@ -75,15 +75,18 @@ class SAMModel:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         r1, r2, r3 = jax.random.split(rng, 3)
         dummy_img = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)
-        enc_vars = self.encoder.init(r1, dummy_img)
+        # jit each init trace: eager flax init dispatches every op on the
+        # host one by one (minutes for the 1024^2 ViT encoder on CPU).
+        enc_vars = jax.jit(self.encoder.init)(r1, dummy_img)
         pts = jnp.zeros((1, 2, 2), jnp.float32)
         lbl = jnp.zeros((1, 2), jnp.int32)
-        pe_vars = self.prompt_encoder.init(r2, pts, lbl)
+        pe_vars = jax.jit(self.prompt_encoder.init)(r2, pts, lbl)
         sparse, dense = self.prompt_encoder.apply(pe_vars, pts, lbl)
         img_pe = self.prompt_encoder.apply(pe_vars, method="get_dense_pe")
         feat = jnp.zeros((1, self.embed_size, self.embed_size,
                           self.prompt_embed_dim), jnp.float32)
-        dec_vars = self.mask_decoder.init(r3, feat, img_pe, sparse, dense)
+        dec_vars = jax.jit(self.mask_decoder.init)(r3, feat, img_pe, sparse,
+                                                   dense)
         self.variables = {"encoder": enc_vars, "prompt": pe_vars,
                           "decoder": dec_vars}
         return self.variables

@@ -367,19 +367,21 @@ class SAM2Model:
         r1, r2, r3, r4, r5, r6 = jax.random.split(rng, 6)
         S = self.img_size
         dummy = jnp.zeros((1, S, S, 3), jnp.float32)
-        trunk_vars = self.trunk.init(r1, dummy)
-        feats = self.trunk.apply(trunk_vars, dummy)
-        neck_vars = self.neck.init(r2, feats)
-        fpn = self.neck.apply(neck_vars, feats)
+        # jit the init/apply traces: eager flax dispatch of the Hiera trunk
+        # op-by-op on the host takes minutes at 1024^2 on CPU.
+        trunk_vars = jax.jit(self.trunk.init)(r1, dummy)
+        feats = jax.jit(self.trunk.apply)(trunk_vars, dummy)
+        neck_vars = jax.jit(self.neck.init)(r2, feats)
+        fpn = jax.jit(self.neck.apply)(neck_vars, feats)
         skip_vars = self._skips.init(r3, fpn[0], fpn[1])
         pts = jnp.zeros((1, 2, 2), jnp.float32)
         lbl = jnp.zeros((1, 2), jnp.int32)
-        pe_vars = self.prompt_encoder.init(r4, pts, lbl)
+        pe_vars = jax.jit(self.prompt_encoder.init)(r4, pts, lbl)
         sparse, dense = self.prompt_encoder.apply(pe_vars, pts, lbl)
         img_pe = self.prompt_encoder.apply(pe_vars, method="get_dense_pe")
         s0, s1 = self._skips.apply(skip_vars, fpn[0], fpn[1])
         no_mem = jax.random.normal(r5, (1, 1, 256)) * 0.02
-        dec_vars = self.mask_decoder.init(
+        dec_vars = jax.jit(self.mask_decoder.init)(
             r6, fpn[2], img_pe, sparse, dense, (s0, s1))
         self.variables = {"trunk": trunk_vars, "neck": neck_vars,
                           "skips": skip_vars, "prompt": pe_vars,

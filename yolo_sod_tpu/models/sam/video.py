@@ -102,13 +102,14 @@ class SAM2VideoPredictor:
         cur = jnp.zeros((1, S, HIDDEN), jnp.float32)
         L = self.num_maskmem * S + self.max_obj_ptrs * (HIDDEN // MEM_DIM)
         mem = jnp.zeros((1, L, MEM_DIM), jnp.float32)
-        ma = self.mem_attn.init(r1, cur, cur, mem, mem, (s, s),
-                                num_obj_ptr_tokens=self.max_obj_ptrs *
-                                (HIDDEN // MEM_DIM))
+        ma = jax.jit(lambda r, c, m: self.mem_attn.init(
+            r, c, c, m, m, (s, s),
+            num_obj_ptr_tokens=self.max_obj_ptrs * (HIDDEN // MEM_DIM)))(
+                r1, cur, mem)
         pix = jnp.zeros((1, s, s, HIDDEN), jnp.float32)
         msk = jnp.zeros((1, self.model.img_size, self.model.img_size, 1),
                         jnp.float32)
-        me = self.mem_enc.init(r2, pix, msk)
+        me = jax.jit(self.mem_enc.init)(r2, pix, msk)
         pp = self.obj_ptr_proj.init(r3, jnp.zeros((1, HIDDEN)))
         pt = self.ptr_tpos.init(r4, jnp.zeros((self.max_obj_ptrs,)))
         tpos = jax.random.normal(r5, (self.num_maskmem, MEM_DIM)) * 0.02
