@@ -42,7 +42,7 @@ def test_segment_head_and_loss():
     out, _ = m.apply(m.variables, x, train=True, mutable=True)
     total, items = crit(out, batch)
     assert np.isfinite(float(total))
-    assert items.shape == (4,)                      # box, cls, dfl, mask
+    assert items.shape == (4,)                      # box, seg, cls, dfl
 
 
 def test_pose_head_and_loss():
@@ -66,6 +66,7 @@ def test_pose_head_and_loss():
     out, _ = m.apply(m.variables, x, train=True, mutable=True)
     total, items = crit(out, batch)
     assert np.isfinite(float(total))
+    assert items.shape == (5,)                      # box, pose, kobj, cls, dfl
 
 
 def test_obb_head():
@@ -121,4 +122,4 @@ def test_obb_loss():
     }
     crit = OBBLoss(nc=3, strides=m.graph.detect_strides, max_fg=16)
     total, items = crit(out, batch)
-    assert np.isfinite(float(total)) and items.shape == (4,)
+    assert np.isfinite(float(total)) and items.shape == (3,)   # box, cls, dfl

@@ -140,6 +140,21 @@ COMMON = dict(epochs=1, batch=2, imgsz=64, optimizer="SGD", lr0=0.01,
               patience=100, nbs=2)
 
 
+def test_pose_model_rebuilds_for_data_kpt_shape():
+    """A dataset kpt_shape different from the model YAML's must rebuild the
+    head (reference pose/train.py get_model: data_kpt_shape override)."""
+    from yolo_sod_tpu.nn.tasks import PoseModel
+
+    cfg = {"nc": 1, "scale": "n", "scales": {"n": [0.5, 0.25, 1024]},
+           "backbone": [[-1, 1, "Conv", [64, 3, 2]],
+                        [-1, 1, "Conv", [128, 3, 2]]],
+           "head": [[[1], 1, "Pose", ["nc", [17, 3]]]]}
+    m = PoseModel(cfg, data_kpt_shape=(4, 3))
+    assert tuple(m.kpt_shape) == (4, 3)
+    m2 = PoseModel({**cfg, "head": [[[1], 1, "Pose", ["nc", [17, 3]]]]})
+    assert tuple(m2.kpt_shape) == (17, 3)
+
+
 def test_pose_dataset_loading(pose_yaml):
     from yolo_sod_tpu.data import build_dataloader, build_yolo_dataset, check_det_dataset
 
@@ -187,7 +202,7 @@ def test_segment_train_and_val(seg_yaml):
         model=model)
     trainer.train()
     assert trainer.tloss is not None and np.isfinite(trainer.tloss).all()
-    assert len(trainer.tloss) == 4          # box, cls, dfl, seg
+    assert len(trainer.tloss) == 4          # box, seg, cls, dfl
     assert trainer.metrics is not None
     assert "metrics/mAP50-95(M)" in trainer.metrics.keys
 
@@ -211,7 +226,7 @@ def test_pose_train_and_val(pose_yaml):
         model=model)
     trainer.train()
     assert trainer.tloss is not None and np.isfinite(trainer.tloss).all()
-    assert len(trainer.tloss) == 4          # box, cls, dfl, kpt
+    assert len(trainer.tloss) == 5          # box, pose, kobj, cls, dfl
     assert trainer.metrics is not None
     assert "metrics/mAP50-95(P)" in trainer.metrics.keys
 
@@ -235,7 +250,7 @@ def test_obb_train_and_val(obb_yaml):
         model=model)
     trainer.train()
     assert trainer.tloss is not None and np.isfinite(trainer.tloss).all()
-    assert len(trainer.tloss) == 4          # box, cls, dfl, obb
+    assert len(trainer.tloss) == 3          # box, cls, dfl (probiou box)
     assert trainer.metrics is not None
 
 

@@ -23,10 +23,13 @@ if _os.environ.get("JAX_PLATFORMS"):
     # Honor JAX_PLATFORMS even when a PJRT plugin (e.g. the axon TPU tunnel)
     # registers itself unconditionally and the env var alone is ignored:
     # jax.config.update works as long as no backend has initialized yet.
+    # An explicit in-process choice (jax.config.update by the embedding app,
+    # e.g. tests forcing a virtual CPU mesh) takes precedence over the env.
     import jax as _jax
 
     try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        if not _jax.config.jax_platforms:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:
         pass  # backend already initialized; the caller's choice stands
 

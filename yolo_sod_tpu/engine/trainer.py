@@ -119,6 +119,14 @@ class DetectionTrainer:
     def default_model(self) -> str:
         return "yolov12-sod-fusion-v5-simple.yaml"
 
+    def _model_head_mismatch(self) -> bool:
+        """Task hook: does the model head disagree with the dataset contract
+        beyond nc (e.g. pose kpt_shape, reference pose/train.py get_model)?"""
+        return False
+
+    def _rebuild_model(self, nc: int):
+        return type(self.model)(self.model.yaml, nc=nc)
+
     def build_criterion(self, nc: int):
         args = self.args
         return DetectionLoss(nc=nc, strides=self.model.graph.detect_strides,
@@ -172,9 +180,9 @@ class DetectionTrainer:
             self.model = self.model_class()(args.model or self.default_model())
         self.data = self.get_dataset()
         nc = self.data["nc"]
-        if nc != self.model.nc:
+        if nc != self.model.nc or self._model_head_mismatch():
             LOGGER.info(f"rebuilding model head for nc={nc}")
-            self.model = type(self.model)(self.model.yaml, nc=nc)
+            self.model = self._rebuild_model(nc)
         self.model.names = self.data["names"]
         if self.model.variables is None:
             self.model.init(rng=jax.random.PRNGKey(args.seed), imgsz=args.imgsz)
@@ -396,9 +404,9 @@ class DetectionTrainer:
                     self._seen += n_new
                     if hasattr(pbar, "set_postfix_str"):
                         self.tloss = np.asarray(self.tloss)
-                        pbar.set_postfix_str(
-                            f"box {self.tloss[0]:.3f} cls {self.tloss[1]:.3f} "
-                            f"dfl {self.tloss[2]:.3f}")
+                        pbar.set_postfix_str(" ".join(
+                            f"{n.removesuffix('_loss')} {v:.3f}" for n, v in
+                            zip(self.loss_names, np.atleast_1d(self.tloss))))
                 self.run_callbacks("on_train_batch_end")
             self.run_callbacks("on_train_epoch_end")
 

@@ -18,7 +18,7 @@ class SegmentationTrainer(DetectionTrainer):
     """Train a Segment-head model (reference segment/train.py)."""
 
     task = "segment"
-    loss_names = ("box_loss", "cls_loss", "dfl_loss", "seg_loss")
+    loss_names = ("box_loss", "seg_loss", "cls_loss", "dfl_loss")
     batch_extra_keys = ("masks",)
 
     def model_class(self):
@@ -46,7 +46,7 @@ class PoseTrainer(DetectionTrainer):
     from the dataset yaml (coco-pose contract) and must match the head's."""
 
     task = "pose"
-    loss_names = ("box_loss", "cls_loss", "dfl_loss", "kpt_loss")
+    loss_names = ("box_loss", "pose_loss", "kobj_loss", "cls_loss", "dfl_loss")
     batch_extra_keys = ("keypoints",)
 
     def model_class(self):
@@ -56,6 +56,16 @@ class PoseTrainer(DetectionTrainer):
 
     def default_model(self) -> str:
         return "yolov12-pose.yaml"
+
+    def _model_head_mismatch(self) -> bool:
+        ks = self.data.get("kpt_shape")
+        return ks is not None and tuple(ks) != tuple(self.model.kpt_shape)
+
+    def _rebuild_model(self, nc: int):
+        from yolo_sod_tpu.nn.tasks import PoseModel
+
+        return PoseModel(self.model.yaml, nc=nc,
+                         data_kpt_shape=self.data.get("kpt_shape"))
 
     def build_criterion(self, nc: int):
         args = self.args
@@ -78,7 +88,7 @@ class OBBTrainer(DetectionTrainer):
     radians (data/dataset.py obb task)."""
 
     task = "obb"
-    loss_names = ("box_loss", "cls_loss", "dfl_loss", "obb_loss")
+    loss_names = ("box_loss", "cls_loss", "dfl_loss")
     batch_extra_keys = ("angles",)
 
     def model_class(self):

@@ -736,10 +736,21 @@ class WorldModel(DetectionModel):
 
 
 class PoseModel(DetectionModel):
-    """Detect + keypoints (reference tasks.py PoseModel)."""
+    """Detect + keypoints (reference tasks.py PoseModel :501-520): when the
+    dataset declares a kpt_shape different from the model YAML's, the head
+    is rebuilt for the data's shape (reference overrides cfg["kpt_shape"])."""
 
     def __init__(self, cfg="yolov12-pose.yaml", ch: int = 3,
-                 nc: Optional[int] = None, verbose: bool = False):
+                 nc: Optional[int] = None, verbose: bool = False,
+                 data_kpt_shape=None):
+        cfg = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        if data_kpt_shape is not None:
+            ks = list(data_kpt_shape)
+            for row in cfg.get("head", []):
+                if row[2] == "Pose" and len(row[3]) > 1 and list(row[3][1]) != ks:
+                    LOGGER.info(f"overriding model.yaml kpt_shape={row[3][1]} "
+                                f"with kpt_shape={ks}")
+                    row[3] = [row[3][0], ks, *row[3][2:]]
         super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
         self.task = "pose"
 

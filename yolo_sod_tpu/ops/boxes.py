@@ -55,6 +55,20 @@ def dist2bbox(distance, anchor_points, xywh: bool = True, axis: int = -1):
     return jnp.concatenate([x1y1, x2y2], axis=axis)
 
 
+def dist2rbox(pred_dist, pred_angle, anchor_points, axis: int = -1):
+    """ltrb distances + angle → rotated box xywh (reference tal.py:366-385):
+    the (rb - lt)/2 center offset is rotated by the predicted angle before
+    being added to the anchor; w, h stay lt + rb."""
+    lt, rb = jnp.split(pred_dist, 2, axis=axis)
+    cos = jnp.cos(pred_angle)
+    sin = jnp.sin(pred_angle)
+    xf, yf = jnp.split((rb - lt) / 2, 2, axis=axis)
+    x = xf * cos - yf * sin
+    y = xf * sin + yf * cos
+    return jnp.concatenate([jnp.concatenate([x, y], axis) + anchor_points,
+                            lt + rb], axis)
+
+
 def bbox2dist(anchor_points, bbox, reg_max: int):
     """xyxy boxes → ltrb distances, clamped to reg_max (reference tal.py:360).
 

@@ -157,22 +157,14 @@ class DetectionLoss:
         total = items.sum() * B
         return total, jax.lax.stop_gradient(items)
 
-    def __call__(self, feats: Sequence[jax.Array], batch: dict):
-        """Compute (total_loss, loss_items).
+    def _forward_core(self, feats: Sequence[jax.Array], batch: dict):
+        """Shared detect criterion core: split → decode → assign → 3 terms.
 
-        Args:
-            feats: per-level (B, H, W, no) NHWC training outputs.
-            batch: dict with
-                'cls'     (B, M) float class ids (padded rows arbitrary),
-                'bboxes'  (B, M, 4) normalized xywh in [0, 1],
-                'mask_gt' (B, M) validity (0/1).
-
-        Returns:
-            total: scalar = (box*7.5 + cls*0.5 + dfl*1.5).sum() * B,
-            items: (3,) detached [box, cls, dfl] components.
+        Returns (items (3,) UNSCALED [box, cls, dfl], ctx) where ctx carries
+        the assignment products the task criteria (seg/pose) reuse — the
+        reference shares these the same way (v8SegmentationLoss/v8PoseLoss
+        run ONE assignment and read fg_mask/target_gt_idx off it).
         """
-        if self.per_level and len(feats) > 1:
-            return self._call_per_level(feats, batch)
         B = feats[0].shape[0]
         dtype = jnp.float32
         pred_distri, pred_scores = split_feats(feats, self.reg_max, self.no)
@@ -195,7 +187,7 @@ class DetectionLoss:
         pred_ltrb = jnp.einsum("bafc,c->baf", jax.nn.softmax(pd, axis=-1), proj)
         pred_bboxes = dist2bbox(pred_ltrb, anchor_points[None], xywh=False)    # grid units
 
-        _, target_bboxes, target_scores, fg_mask, _ = self.assigner(
+        _, target_bboxes, target_scores, fg_mask, target_gt_idx = self.assigner(
             jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
             jax.lax.stop_gradient(pred_bboxes) * stride_tensor[None],
             anchor_points * stride_tensor,
@@ -210,18 +202,47 @@ class DetectionLoss:
         # Box + DFL over foreground anchors only (mask algebra instead of
         # boolean indexing — fixed shapes).
         fg = fg_mask.astype(dtype)[..., None]                          # (B, A, 1)
-        target_bboxes = target_bboxes / stride_tensor[None]
+        tb_grid = target_bboxes / stride_tensor[None]
         weight = target_scores.sum(-1, keepdims=True)                  # (B, A, 1)
-        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)
+        iou = bbox_iou(pred_bboxes, tb_grid, xywh=False, CIoU=True)
         loss_box = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
 
-        target_ltrb = bbox2dist(anchor_points[None], target_bboxes, self.reg_max)
+        target_ltrb = bbox2dist(anchor_points[None], tb_grid, self.reg_max)
         ldfl = dfl_loss(pd, target_ltrb, self.reg_max)                 # (B, A, 1)
         loss_dfl = ((ldfl * weight) * fg).sum() / target_scores_sum
 
+        ctx = {
+            "imgsz": (img_h, img_w),
+            "anchor_points": anchor_points,      # (A, 2) grid units
+            "stride_tensor": stride_tensor,      # (A, 1)
+            "fg_mask": fg_mask,                  # (B, A) bool
+            "target_gt_idx": target_gt_idx,      # (B, A) int32
+            "target_bboxes": target_bboxes,      # (B, A, 4) PIXEL xyxy
+            "target_scores": target_scores,      # (B, A, nc)
+            "target_scores_sum": target_scores_sum,
+        }
+        return jnp.stack([loss_box, loss_cls, loss_dfl]), ctx
+
+    def __call__(self, feats: Sequence[jax.Array], batch: dict):
+        """Compute (total_loss, loss_items).
+
+        Args:
+            feats: per-level (B, H, W, no) NHWC training outputs.
+            batch: dict with
+                'cls'     (B, M) float class ids (padded rows arbitrary),
+                'bboxes'  (B, M, 4) normalized xywh in [0, 1],
+                'mask_gt' (B, M) validity (0/1).
+
+        Returns:
+            total: scalar = (box*7.5 + cls*0.5 + dfl*1.5).sum() * B,
+            items: (3,) detached [box, cls, dfl] components.
+        """
+        if self.per_level and len(feats) > 1:
+            return self._call_per_level(feats, batch)
+        core, _ = self._forward_core(feats, batch)
         bg, cg, dg = self.gains
-        items = jnp.stack([loss_box * bg, loss_cls * cg, loss_dfl * dg])
-        total = items.sum() * B
+        items = core * jnp.array([bg, cg, dg], core.dtype)
+        total = items.sum() * feats[0].shape[0]
         return total, jax.lax.stop_gradient(items)
 
 
