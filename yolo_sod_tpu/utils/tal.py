@@ -72,6 +72,16 @@ class TaskAlignedAssigner:
         self.compressed = compressed
         self.topk_merge = topk_merge    # per-level top-k strategy, see assign_per_level
 
+    # Overridable geometry hooks (reference tal.py iou_calculation /
+    # select_candidates_in_gts — RotatedTaskAlignedAssigner swaps both).
+    def iou_calculation(self, gt_bboxes, pd_bboxes):
+        """(B, M, F) gt x (B, A, F) pd → (B, M, A) overlap, clipped to >= 0."""
+        return jnp.clip(bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :],
+                                 xywh=False, CIoU=True)[..., 0], 0, None)
+
+    def select_candidates(self, anc_points, gt_bboxes):
+        return select_candidates_in_gts(anc_points, gt_bboxes)
+
     def __call__(self, pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt):
         """Assign targets.
 
@@ -90,12 +100,13 @@ class TaskAlignedAssigner:
         B, M = gt_bboxes.shape[:2]
         A = pd_scores.shape[1]
         if M == 0:
-            return (jnp.zeros((B, A), jnp.int32), jnp.zeros((B, A, 4), pd_bboxes.dtype),
+            return (jnp.zeros((B, A), jnp.int32),
+                    jnp.zeros((B, A, gt_bboxes.shape[-1]), pd_bboxes.dtype),
                     jnp.zeros_like(pd_scores), jnp.zeros((B, A), bool),
                     jnp.zeros((B, A), jnp.int32))
 
         mask_gt_b = mask_gt[..., 0] > 0                         # (B, M)
-        mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B, M, A)
+        mask_in_gts = self.select_candidates(anc_points, gt_bboxes)  # (B, M, A)
 
         # Align metric over candidate anchors (get_box_metrics, reference :133-152).
         # One-hot matmul instead of take_along_axis: the (B, nc, A) gather
@@ -104,9 +115,7 @@ class TaskAlignedAssigner:
         labels = jnp.clip(gt_labels[..., 0].astype(jnp.int32), 0, self.num_classes - 1)
         label_oh = jax.nn.one_hot(labels, self.num_classes, dtype=pd_scores.dtype)
         scores_per_gt = jnp.einsum("bmc,bac->bma", label_oh, pd_scores)  # (B, M, A)
-        overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :],
-                            xywh=False, CIoU=True)[..., 0]       # (B, M, A)
-        overlaps = jnp.clip(overlaps, 0, None)
+        overlaps = self.iou_calculation(gt_bboxes, pd_bboxes)    # (B, M, A) >= 0
         valid = mask_in_gts & mask_gt_b[:, :, None]
         # score^alpha * iou^beta with the default (0.5, 6.0) exponents as
         # sqrt + integer powers: generic pow lowers to exp/log transcendental
@@ -164,10 +173,9 @@ class TaskAlignedAssigner:
 
         aligns, overlaps_l, valids = [], [], []
         for ps, pb, ap in zip(pd_scores, pd_bboxes, anc_points):
-            mask_in = select_candidates_in_gts(ap, gt_bboxes)          # (B, M, A_l)
+            mask_in = self.select_candidates(ap, gt_bboxes)            # (B, M, A_l)
             spg = jnp.einsum("bmc,bac->bma", label_oh, ps)
-            ov = jnp.clip(bbox_iou(gt_bboxes[:, :, None, :], pb[:, None, :, :],
-                                   xywh=False, CIoU=True)[..., 0], 0, None)
+            ov = self.iou_calculation(gt_bboxes, pb)
             valid = mask_in & mask_gt_b[:, :, None]
             if self.alpha == 0.5 and self.beta == 6.0:
                 o2 = ov * ov
@@ -375,3 +383,55 @@ class TaskAlignedAssigner:
         target_scores = one_hot * norm_align[..., None]
 
         return (target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)
+
+
+def rotated_corners(rboxes):
+    """(..., 5) [cx, cy, w, h, rad] → (..., 4, 2) corner points, reference
+    utils/ops.py xywhr2xyxyxyxy corner order (ctr ± w-vec ± h-vec)."""
+    ctr = rboxes[..., :2]
+    w = rboxes[..., 2:3]
+    h = rboxes[..., 3:4]
+    angle = rboxes[..., 4:5]
+    cos = jnp.cos(angle)
+    sin = jnp.sin(angle)
+    vec1 = jnp.concatenate([w / 2 * cos, w / 2 * sin], -1)
+    vec2 = jnp.concatenate([-h / 2 * sin, h / 2 * cos], -1)
+    return jnp.stack([ctr + vec1 + vec2, ctr + vec1 - vec2,
+                      ctr - vec1 - vec2, ctr - vec1 + vec2], axis=-2)
+
+
+def select_candidates_in_rotated_gts(xy_centers, gt_rbboxes):
+    """(A, 2) anchor centers inside (B, M, 5) xywhr gt rects → (B, M, A) bool.
+
+    Reference RotatedTaskAlignedAssigner.select_candidates_in_gts
+    (tal.py:305-330): projections of (anchor - corner_a) onto the two edge
+    vectors must land within [0, |edge|^2]."""
+    corners = rotated_corners(gt_rbboxes)          # (B, M, 4, 2)
+    a = corners[..., 0, :]                          # (B, M, 2)
+    b = corners[..., 1, :]
+    d = corners[..., 3, :]
+    ab = b - a
+    ad = d - a
+    ap = xy_centers[None, None] - a[..., None, :]   # (B, M, A, 2)
+    norm_ab = (ab * ab).sum(-1)[..., None]          # (B, M, 1)
+    norm_ad = (ad * ad).sum(-1)[..., None]
+    ap_dot_ab = (ap * ab[..., None, :]).sum(-1)     # (B, M, A)
+    ap_dot_ad = (ap * ad[..., None, :]).sum(-1)
+    return ((ap_dot_ab >= 0) & (ap_dot_ab <= norm_ab) &
+            (ap_dot_ad >= 0) & (ap_dot_ad <= norm_ad))
+
+
+class RotatedTaskAlignedAssigner(TaskAlignedAssigner):
+    """TAL over oriented boxes (reference tal.py:298-330): overlap metric is
+    ProbIoU on (..., 5) xywhr boxes and candidate selection is the rotated
+    point-in-rect test. gt_bboxes / pd_bboxes carry 5 columns; the returned
+    target_bboxes are (B, A, 5) xywhr."""
+
+    def iou_calculation(self, gt_bboxes, pd_bboxes):
+        from yolo_sod_tpu.ops.boxes import probiou
+
+        return jnp.clip(probiou(gt_bboxes[:, :, None, :],
+                                pd_bboxes[:, None, :, :]), 0, None)
+
+    def select_candidates(self, anc_points, gt_bboxes):
+        return select_candidates_in_rotated_gts(anc_points, gt_bboxes)
