@@ -240,6 +240,102 @@ def test_nms_max_det_cap():
     np.testing.assert_allclose(det[:, 4], ref_out[:, 4], rtol=1e-6)
 
 
+# ------------------------------------------------------------- (b2) rotated
+
+def _adversarial_rotated_prediction(seed, nc=6, n_anchors=400, imgsz=640):
+    """(A, 5+nc) [cx, cy, w, h, angle, scores] with overlap clusters and
+    near-duplicate rboxes so the fast-NMS suppression structure is exercised."""
+    rng = np.random.default_rng(seed)
+    n_clusters = 30
+    centers = rng.random((n_clusters, 2)) * (imgsz - 80) + 40
+    which = rng.integers(0, n_clusters, n_anchors)
+    cxy = centers[which] + rng.normal(0, 5, (n_anchors, 2))
+    wh = np.exp(rng.normal(3.0, 0.4, (n_anchors, 2)))
+    ang = rng.random((n_anchors, 1)) * (np.pi / 2)
+    scores = rng.random((n_anchors, nc)) ** 4
+    hot = rng.integers(0, nc, n_anchors)
+    scores[np.arange(n_anchors), hot] = rng.random(n_anchors)
+    rb = np.concatenate([cxy, wh, ang], 1)
+    rb[:6] = rb[6:12]                          # exact duplicate rboxes
+    return np.concatenate([rb, scores], 1).astype(np.float32)  # (A, 5+nc)
+
+
+@pytest.mark.parametrize("mode", ["predict", "val", "agnostic"])
+def test_rotated_nms_semantics_parity(mode):
+    """Reference non_max_suppression(rotated=True) (utils/ops.py:291-293 —
+    class offset on the CENTER only, fast-NMS on the ProbIoU matrix via
+    nms_rotated utils/ops.py:146) vs our fused non_max_suppression_rotated."""
+    import torch
+
+    from tests import reference_shim
+    reference_shim.install()
+    from ultralytics.utils.ops import non_max_suppression as ref_nms
+
+    from yolo_sod_tpu.ops.nms import non_max_suppression_rotated
+
+    nc = 6
+    kw = dict(conf_thres=0.25, iou_thres=0.45, multi_label=False,
+              agnostic=False, classes=None, max_det=300)
+    if mode == "val":       # validator semantics (reference obb/val.py)
+        kw.update(conf_thres=0.001, iou_thres=0.7, multi_label=True)
+    elif mode == "agnostic":
+        kw.update(agnostic=True)
+
+    for seed in (0, 1):
+        ours_in = _adversarial_rotated_prediction(seed, nc=nc)  # (A, 5+nc)
+        # Reference layout: (1, 4+nc+1, A) = [xywh, scores..., angle].
+        ref_in = np.concatenate(
+            [ours_in[:, :4], ours_in[:, 5:], ours_in[:, 4:5]], 1).T[None]
+        ref_out = ref_nms(torch.from_numpy(ref_in.copy()), nc=nc,
+                          rotated=True, in_place=False, **kw)[0].numpy()
+        # ref rows: [cx, cy, w, h, conf, cls, angle]
+
+        det, n_valid = non_max_suppression_rotated(ours_in[None], **kw)
+        det = np.asarray(det[0])[: int(n_valid[0])]
+        # our rows: [cx, cy, w, h, angle, conf, cls]
+
+        assert det.shape[0] == ref_out.shape[0], (
+            f"mode={mode} seed={seed}: count {det.shape[0]} vs {ref_out.shape[0]}")
+        np.testing.assert_allclose(det[:, 5], ref_out[:, 4], rtol=1e-5, atol=1e-6,
+                                   err_msg=f"mode={mode} seed={seed} scores")
+        np.testing.assert_array_equal(det[:, 6], ref_out[:, 5],
+                                      err_msg=f"mode={mode} seed={seed} classes")
+        np.testing.assert_allclose(det[:, :4], ref_out[:, :4], rtol=1e-4, atol=1e-3,
+                                   err_msg=f"mode={mode} seed={seed} rboxes")
+        np.testing.assert_allclose(det[:, 4], ref_out[:, 6], rtol=1e-4, atol=1e-5,
+                                   err_msg=f"mode={mode} seed={seed} angles")
+
+
+def test_nms_rotated_kernel_parity():
+    """Standalone nms_rotated vs the reference's (utils/ops.py:146): the keep
+    SET and survivor count must match on pre-sorted candidates."""
+    import torch
+
+    from tests import reference_shim
+    reference_shim.install()
+    from ultralytics.utils.ops import nms_rotated as ref_nms_rotated
+
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.ops.nms import nms_rotated
+
+    rng = np.random.default_rng(3)
+    n = 150
+    cxy = rng.random((n, 2)) * 200
+    wh = np.exp(rng.normal(3.0, 0.4, (n, 2)))
+    ang = rng.random((n, 1)) * (np.pi / 2)
+    rb = np.concatenate([cxy, wh, ang], 1).astype(np.float32)
+    rb[:5] = rb[5:10]
+    scores = np.sort(rng.random(n).astype(np.float32))[::-1].copy()  # descending
+
+    ref_keep = ref_nms_rotated(torch.from_numpy(rb),
+                               torch.from_numpy(scores), 0.45).numpy()
+    keep, n_valid = nms_rotated(jnp.asarray(rb), jnp.asarray(scores), 0.45)
+    got = np.flatnonzero(np.asarray(keep))
+    np.testing.assert_array_equal(np.sort(got), np.sort(ref_keep))
+    assert int(n_valid) == len(ref_keep)
+
+
 # ---------------------------------------------------------------- (c) e2e
 
 def test_e2e_box_parity_converted_flagship():

@@ -19,8 +19,8 @@ import numpy as np
 from yolo_sod_tpu.engine.predictor import DetectionPredictor
 from yolo_sod_tpu.engine.results import Results
 from yolo_sod_tpu.engine.validator import scale_boxes_np
-from yolo_sod_tpu.ops.decode import decode_detections
-from yolo_sod_tpu.ops.nms import non_max_suppression
+from yolo_sod_tpu.ops.decode import decode_detections, decode_obb
+from yolo_sod_tpu.ops.nms import non_max_suppression, non_max_suppression_rotated
 
 
 class ClassificationPredictor(DetectionPredictor):
@@ -194,7 +194,13 @@ class PosePredictor(DetectionPredictor):
 
 
 class OBBPredictor(DetectionPredictor):
-    """Detect + oriented boxes (reference obb/predict.py)."""
+    """Detect + oriented boxes (reference obb/predict.py).
+
+    The decode is ROTATED end to end: dist2rbox (reference head.py
+    OBB.decode_bboxes — the ltrb center offset rotated by the predicted angle
+    before adding the anchor) followed by ProbIoU rotated NMS
+    (reference ops.py non_max_suppression(rotated=True) → nms_rotated),
+    all fused on-device in one jitted graph."""
 
     def _pipeline(self, batch: int, imgsz: int):
         key = (batch, imgsz)
@@ -205,20 +211,12 @@ class OBBPredictor(DetectionPredictor):
             def fn(x):
                 x = x.astype(jnp.bfloat16 if args.half else jnp.float32) / 255.0
                 det_maps, angle_maps = model.net.apply(variables, x, train=False)
-                preds = decode_detections(det_maps, model.graph.detect_strides,
-                                          model.nc)
-                det, n, kept = non_max_suppression(
+                preds = decode_obb(det_maps, angle_maps,
+                                   model.graph.detect_strides, model.nc)
+                return non_max_suppression_rotated(
                     preds, conf_thres=args.conf, iou_thres=args.iou,
                     agnostic=args.agnostic_nms, max_det=args.max_det,
-                    classes=args.classes, max_nms=1024, return_idx=True)
-                B = x.shape[0]
-                angles = jnp.concatenate(
-                    [a.reshape(B, -1) for a in angle_maps], 1)
-                safe = jnp.clip(kept, 0, angles.shape[1] - 1)
-                sel_ang = jnp.take_along_axis(angles, safe, 1)
-                sel_xywh = jnp.take_along_axis(
-                    preds[..., :4].astype(jnp.float32), safe[..., None], 1)
-                return det, n, sel_xywh, sel_ang
+                    classes=args.classes, max_nms=1024)
             self._fns[key] = fn
         return self._fns[key]
 
@@ -229,24 +227,28 @@ class OBBPredictor(DetectionPredictor):
             x = np.concatenate([x, np.repeat(x[-1:], batch_size - nb, 0)], 0)
         fn = self._pipeline(batch_size, x.shape[1])
         t0 = time.perf_counter()
-        det, n_valid, xywh, ang = fn(jnp.asarray(x))
+        det, n_valid = fn(jnp.asarray(x))
         det = np.asarray(jax.device_get(det))
         n_valid = np.asarray(jax.device_get(n_valid))
-        xywh = np.asarray(jax.device_get(xywh))
-        ang = np.asarray(jax.device_get(ang))
         t_inf = (time.perf_counter() - t0) / nb
         for i in range(nb):
             path, im0, ratio_pad, t_pre = meta[i]
             t0 = time.perf_counter()
             nv = n_valid[i]
-            d = det[i][:nv].copy()
-            d[:, :4] = scale_boxes_np(d[:, :4], ratio_pad, im0.shape[:2])
+            rb = det[i][:nv].copy()           # [cx, cy, w, h, angle, conf, cls]
             r, (dw, dh) = ratio_pad
-            rb = np.concatenate([xywh[i][:nv], ang[i][:nv, None],
-                                 d[:, 4:6]], 1)
             rb[:, 0] = (rb[:, 0] - dw) / r
             rb[:, 1] = (rb[:, 1] - dh) / r
             rb[:, 2:4] /= r
+            # Axis-aligned envelope of the rotated rect for the .boxes view
+            # (reference Results carries obb only; the envelope keeps the
+            # detect-style accessors usable downstream).
+            cos, sin = np.abs(np.cos(rb[:, 4])), np.abs(np.sin(rb[:, 4]))
+            half_w = (rb[:, 2] * cos + rb[:, 3] * sin) / 2
+            half_h = (rb[:, 2] * sin + rb[:, 3] * cos) / 2
+            d = np.stack([rb[:, 0] - half_w, rb[:, 1] - half_h,
+                          rb[:, 0] + half_w, rb[:, 1] + half_h,
+                          rb[:, 5], rb[:, 6]], 1)
             t_post = time.perf_counter() - t0
             yield Results(im0, path, self.model.names, boxes=d, obb=rb,
                           speed={"preprocess": t_pre * 1e3,

@@ -17,8 +17,8 @@ from yolo_sod_tpu.data import build_dataloader, build_yolo_dataset, check_det_da
 from yolo_sod_tpu.data.augment import xywhn2xyxy
 from yolo_sod_tpu.engine.validator import (DetectionValidator,
                                            pipelined_batches)
-from yolo_sod_tpu.ops.decode import decode_detections
-from yolo_sod_tpu.ops.nms import non_max_suppression
+from yolo_sod_tpu.ops.decode import decode_detections, decode_obb
+from yolo_sod_tpu.ops.nms import non_max_suppression, non_max_suppression_rotated
 from yolo_sod_tpu.ops.numerics import image_to_compute
 from yolo_sod_tpu.utils import LOGGER, colorstr
 from yolo_sod_tpu.utils.metrics import (DetMetrics, Metric, ap_per_class, box_iou,
@@ -301,19 +301,13 @@ class OBBValidator(DetectionValidator):
             def fn(variables, x):
                 x = image_to_compute(x, jnp.bfloat16 if half else jnp.float32)
                 det_maps, angle_maps = model.net.apply(variables, x, train=False)
-                preds = decode_detections(det_maps, model.graph.detect_strides,
-                                          model.nc)
-                det, n, kept = non_max_suppression(
+                preds = decode_obb(det_maps, angle_maps,
+                                   model.graph.detect_strides, model.nc)
+                # Rotated decode (dist2rbox) + ProbIoU NMS — reference
+                # obb/val.py postprocess(..., rotated=True).
+                return non_max_suppression_rotated(
                     preds, conf_thres=conf, iou_thres=iou, multi_label=True,
-                    max_det=max_det, return_idx=True)
-                B = x.shape[0]
-                angles = jnp.concatenate(
-                    [a.reshape(B, -1) for a in angle_maps], 1)
-                safe = jnp.clip(kept, 0, angles.shape[1] - 1)
-                sel_ang = jnp.take_along_axis(angles, safe, 1)
-                sel_xywh = jnp.take_along_axis(
-                    preds[..., :4].astype(jnp.float32), safe[..., None], 1)
-                return det, n, sel_xywh, sel_ang
+                    max_det=max_det)
             self._jit_fn = fn
         return self._jit_fn
 
@@ -344,12 +338,12 @@ class OBBValidator(DetectionValidator):
         metrics = DetMetrics(names=names)
         stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         n_images = 0
-        for (det, n_valid, xywh, ang), batch, nb, h_im, w_im in pipelined_batches(
+        for (det, n_valid), batch, nb, h_im, w_im in pipelined_batches(
                 self.dataloader, lambda x: fn(variables, x)):
             for bi in range(nb):
                 n_images += 1
                 nv = n_valid[bi]
-                d = det[bi][:nv]
+                d = det[bi][:nv]      # [cx, cy, w, h, angle, conf, cls]
                 m = batch["mask_gt"][bi] > 0
                 gt_cls = batch["cls"][bi][m]
                 # bboxes carry the ROTATED rect for the obb task.
@@ -360,12 +354,11 @@ class OBBValidator(DetectionValidator):
                 stats["target_cls"].append(gt_cls)
                 if len(d) == 0:
                     continue
-                pred_rb = np.concatenate([xywh[bi][:nv], ang[bi][:nv, None]], 1)
                 sim = np.asarray(probiou(jnp.asarray(gt_rb)[:, None],
-                                         jnp.asarray(pred_rb)[None]))
-                stats["tp"].append(match_predictions(d[:, 5], gt_cls, sim))
-                stats["conf"].append(d[:, 4])
-                stats["pred_cls"].append(d[:, 5])
+                                         jnp.asarray(d[:, :5])[None]))
+                stats["tp"].append(match_predictions(d[:, 6], gt_cls, sim))
+                stats["conf"].append(d[:, 5])
+                stats["pred_cls"].append(d[:, 6])
 
         if stats["tp"]:
             metrics.process(np.concatenate(stats["tp"]),

@@ -51,3 +51,34 @@ def decode_detections(feats: Sequence[jax.Array], strides: Sequence[int],
     boxes = dist2bbox(dist, anchors[None], xywh=xywh) * stride_t[None]
     scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
     return jnp.concatenate([boxes, scores], axis=-1)
+
+
+def decode_obb(det_maps: Sequence[jax.Array], angle_maps: Sequence[jax.Array],
+               strides: Sequence[int], nc: int, reg_max: int = 16):
+    """Decode an OBB head's maps into rotated predictions.
+
+    Reference OBB head inference (head.py OBB.decode_bboxes): the DFL ltrb
+    expectation decodes through dist2rbox — the (rb-lt)/2 center offset is
+    ROTATED by the predicted angle before being added to the anchor — so the
+    inference decode matches the training criterion's exactly
+    (utils/loss_tasks.OBBLoss).
+
+    Returns:
+        (B, A, 5+nc): [cx, cy, w, h (pixels), angle (rad), sigmoid scores].
+    """
+    from yolo_sod_tpu.ops.boxes import dist2rbox
+
+    b = det_maps[0].shape[0]
+    no = 4 * reg_max + nc
+    x = jnp.concatenate([f.reshape(b, -1, no) for f in det_maps], axis=1)
+    ang = jnp.concatenate([a.reshape(b, -1, 1) for a in angle_maps],
+                          axis=1).astype(jnp.float32)
+    box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max:]
+
+    hw = [(f.shape[1], f.shape[2]) for f in det_maps]
+    anchors, stride_t = make_anchors(hw, strides)
+
+    dist = dfl_expectation(box_logits, reg_max)
+    rboxes = dist2rbox(dist, ang, anchors[None]) * stride_t[None]
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    return jnp.concatenate([rboxes, ang, scores], axis=-1)

@@ -241,10 +241,112 @@ def topk_postprocess(preds, max_det: int = 300, nc: int | None = None):
     return det, n_valid
 
 
+def _fast_nms_rotated_single(off_rb, out_rb, scores, classes,
+                             iou_thres: float, max_det: int,
+                             conf_thres: float):
+    """Fast-NMS on the ProbIoU matrix for one image — the reference's EXACT
+    rotated semantics (utils/ops.py nms_rotated): candidates sorted by score,
+    keep j iff max_i<j IoU(i, j) < threshold (single pass over the strict
+    upper triangle; a suppressed box still suppresses lower-ranked ones).
+
+    Args:
+        off_rb: (N, 5) [cx, cy, w, h, angle] used for suppression — centers
+            carry the class offset unless agnostic.
+        out_rb: (N, 5) emitted rboxes.
+        scores: (N,) descending; invalid candidates are < conf_thres and must
+            not suppress (reference filters them out before NMS).
+
+    Returns det (max_det, 7) [cx, cy, w, h, angle, conf, cls], n_valid.
+    """
+    from yolo_sod_tpu.ops.boxes import probiou
+
+    n = off_rb.shape[0]
+    iou = probiou(off_rb[:, None, :], off_rb[None, :, :])
+    tri = jnp.triu(jnp.ones((n, n), bool), k=1)
+    valid = scores >= conf_thres
+    A = jnp.where(tri & valid[:, None], iou, 0.0)
+    keep = valid & (A.max(axis=0) < iou_thres)
+
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    slot = jnp.where(keep, rank, max_det)
+    rows = jnp.concatenate([out_rb, scores[:, None], classes[:, None]], axis=-1)
+    det = jnp.zeros((max_det + 1, 7), scores.dtype)
+    det = det.at[slot].set(rows, mode="drop")[:max_det]
+    n_valid = jnp.minimum(keep.sum(), max_det).astype(jnp.int32)
+    return det, n_valid
+
+
+def non_max_suppression_rotated(
+    preds,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    classes=None,
+    agnostic: bool = False,
+    multi_label: bool = False,
+    max_det: int = 300,
+    max_nms: int = 2048,
+    nc: int | None = None,
+):
+    """Batched fixed-shape rotated NMS over decoded OBB predictions.
+
+    Reference semantics: utils/ops.py non_max_suppression(rotated=True) —
+    conf filter, best-class (or per-class multi-label) candidates, the
+    class-separation offset applied to the CENTER only (ops.py `x[:, :2] + c`;
+    w/h/angle untouched), greedy suppression on ProbIoU (ops.py nms_rotated).
+
+    Args:
+        preds: (B, A, 5+nc) [cx, cy, w, h, angle(rad), per-class scores]
+            (output of ops.decode.decode_obb).
+
+    Returns:
+        det: (B, max_det, 7) [cx, cy, w, h, angle, conf, cls], zero-padded.
+        n_valid: (B,) int32.
+    """
+    B, A, no = preds.shape
+    nc = nc or no - 5
+    rboxes = preds[..., :5].astype(jnp.float32)
+    scores = preds[..., 5:5 + nc].astype(jnp.float32)
+
+    cls_keep = None
+    if classes is not None:
+        cls_keep = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
+
+    if multi_label:
+        if cls_keep is not None:
+            scores = jnp.where(cls_keep[None, None, :], scores, 0.0)
+        flat = scores.reshape(B, A * nc)
+        cls_ids = jnp.tile(jnp.arange(nc, dtype=jnp.float32), (A,))
+        k = min(max_nms, A * nc)
+        top_scores, top_idx = jax.lax.top_k(flat, k)
+        cand_cls = cls_ids[top_idx]
+        anchor_idx = (top_idx // nc).astype(jnp.int32)
+        cand_rb = jnp.take_along_axis(rboxes, anchor_idx[..., None], axis=1)
+    else:
+        best = scores.max(-1)
+        best_cls = scores.argmax(-1).astype(jnp.float32)
+        if cls_keep is not None:
+            best = jnp.where(cls_keep[scores.argmax(-1)], best, 0.0)
+        k = min(max_nms, A)
+        top_scores, top_idx = jax.lax.top_k(best, k)
+        cand_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
+        cand_rb = jnp.take_along_axis(rboxes, top_idx[..., None], axis=1)
+
+    top_scores = jnp.where(top_scores > conf_thres, top_scores, -1.0)
+
+    offset = jnp.zeros_like(cand_cls) if agnostic else cand_cls * MAX_WH
+    off_rb = jnp.concatenate(
+        [cand_rb[..., :2] + offset[..., None], cand_rb[..., 2:]], axis=-1)
+
+    nms_fn = partial(_fast_nms_rotated_single, iou_thres=iou_thres,
+                     max_det=max_det, conf_thres=conf_thres)
+    return jax.vmap(nms_fn)(off_rb, cand_rb, top_scores, cand_cls)
+
+
 def nms_rotated(obbs, scores, iou_thres: float = 0.45, max_det: int = 300):
-    """Greedy rotated NMS over (N, 5) [cx, cy, w, h, angle] candidates sorted
-    by descending score, via the Cluster-NMS iteration on the ProbIoU matrix
-    (reference utils/ops.py nms_rotated + torchvision fallback).
+    """Fast-NMS over (N, 5) [cx, cy, w, h, angle] candidates sorted by
+    descending score — the reference's exact rotated semantics
+    (utils/ops.py nms_rotated: single pass, keep j iff
+    max_i<j ProbIoU(i, j) < threshold, strict).
 
     Returns (keep (N,) bool, n_valid int32) — fixed shapes.
     """
@@ -253,15 +355,8 @@ def nms_rotated(obbs, scores, iou_thres: float = 0.45, max_det: int = 300):
     n = obbs.shape[0]
     iou = probiou(obbs[:, None, :], obbs[None, :, :])
     tri = jnp.triu(jnp.ones((n, n), bool), k=1)
-    A = jnp.where(tri, iou, 0.0)
     valid = scores > 0
-
-    def body(state):
-        keep_prev, _ = state
-        sup = (A * keep_prev[:, None].astype(A.dtype)).max(axis=0)
-        return valid & (sup <= iou_thres), keep_prev
-
-    keep, _ = jax.lax.while_loop(lambda s: jnp.any(s[0] != s[1]), body,
-                                 (valid, jnp.zeros_like(valid)))
+    A = jnp.where(tri & valid[:, None], iou, 0.0)
+    keep = valid & (A.max(axis=0) < iou_thres)
     n_valid = jnp.minimum(keep.sum(), max_det).astype(jnp.int32)
     return keep, n_valid
