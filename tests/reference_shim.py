@@ -64,3 +64,20 @@ def build_torch_model(cfg_path: str, imgsz: int = 64):
     model = TorchDM(cfg_path, verbose=False)
     model.train()
     return model
+
+
+def build_torch_task_model(cfg_path: str, task: str):
+    """Build a reference task model (segment/pose/obb) in train mode on CPU.
+
+    The reference repo ships no seg/pose/obb YAMLs, but its tasks.py keeps the
+    full ultralytics task-model classes (reference nn/tasks.py:425-463), so we
+    feed it OUR task YAMLs — same graph text on both sides."""
+    install()
+    from ultralytics.nn import tasks as ref_tasks
+
+    cls = {"segment": ref_tasks.SegmentationModel,
+           "pose": ref_tasks.PoseModel,
+           "obb": ref_tasks.OBBModel}[task]
+    model = cls(cfg_path, verbose=False)
+    model.train()
+    return model

@@ -21,7 +21,8 @@ from yolo_sod_tpu.nn.modules.head import Detect
 
 class Proto(nn.Module):
     """Mask prototypes from the highest-res level (reference block.py Proto):
-    conv → 2x upsample → conv → conv to nm prototype channels."""
+    conv → LEARNED 2x ConvTranspose upsample (block.py:97, not nearest) →
+    conv → conv to nm prototype channels."""
 
     c1: int
     c_: int = 256
@@ -30,8 +31,8 @@ class Proto(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBNAct(self.c1, self.c_, 3, name="cv1")(x, train)
-        B, H, W, _ = x.shape
-        x = jax.image.resize(x, (B, H * 2, W * 2, self.c_), method="nearest")
+        x = nn.ConvTranspose(self.c_, (2, 2), strides=(2, 2),
+                             padding="VALID", name="upsample")(x)
         x = ConvBNAct(self.c_, self.c_, 3, name="cv2")(x, train)
         return ConvBNAct(self.c_, self.nm, 1, name="cv3")(x, train)
 

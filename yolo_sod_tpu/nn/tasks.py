@@ -297,7 +297,11 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False) -> ParsedGraph:
                 if name == "Segment" and len(args) > 1:
                     kwargs["nm"] = args[1]
                     if len(args) > 2:
-                        kwargs["npr"] = args[2]
+                        # Proto channels scale with width (reference
+                        # tasks.py parse_model: args[2] = make_divisible(
+                        # min(args[2], max_channels) * width, 8)).
+                        kwargs["npr"] = make_divisible(
+                            min(int(args[2]), max_channels) * width, 8)
                 elif name == "Pose" and len(args) > 1:
                     kwargs["kpt_shape"] = tuple(args[1])
                 elif name == "OBB" and len(args) > 1:

@@ -11,7 +11,10 @@ Key translation torch → flax (our module names were chosen to be parallel):
   linear weight (O,I)          → kernel (I,O)
   bn.weight / bn.bias          → bn.scale / bn.bias      (params)
   bn.running_mean/var          → bn.mean / bn.var        (batch_stats)
-  ConvTranspose2d (I,O,kh,kw)  → kernel (kh,kw,I,O)
+  ConvTranspose2d (I,O,kh,kw)  → kernel (kh,kw,I,O) SPATIALLY FLIPPED
+                          (flax ConvTranspose with transpose_kernel=False is a
+                          fractionally-strided conv, so torch's weight must be
+                          mirrored; verified numerically in test_torch_convert)
 
 Returns the variables dict plus a report of unmatched keys so fidelity holes
 are visible instead of silent.
@@ -19,6 +22,7 @@ are visible instead of silent.
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from typing import Any, Tuple
 
@@ -101,6 +105,21 @@ _KEY_REWRITES = (
     ("in_proj_bias", "in_proj.bias"),
 )
 
+# Non-legacy Detect cls tower is a nested Sequential in the reference
+# (head.py: cv3 = Seq(Seq(DWConv, Conv), Seq(DWConv, Conv), Conv2d)) →
+# torch keys cv3.{i}.{0,1}.{0,1}.*; our flax names flatten the inner pair
+# to cv3_{i}_{0,1}{a,b} (nn/modules/head.py:73-76).
+_CV3_NESTED = re.compile(r"cv3\.(\d+)\.([01])\.([01])\.")
+
+
+def _rewrite_key(key: str) -> str:
+    key = _CV3_NESTED.sub(
+        lambda m: f"cv3_{m.group(1)}_{m.group(2)}{'ab'[int(m.group(3))]}.", key)
+    for old, new_k in _KEY_REWRITES:
+        if old in key:
+            key = key.replace(old, new_k)
+    return key
+
 
 def convert_torch_checkpoint(src, model) -> Tuple[dict, dict]:
     """Map a torch state dict onto `model`'s flax variables.
@@ -137,9 +156,7 @@ def convert_torch_checkpoint(src, model) -> Tuple[dict, dict]:
     matched = 0
     unused = []
     for key, val in sd.items():
-        for old, new_k in _KEY_REWRITES:
-            if old in key:
-                key = key.replace(old, new_k)
+        key = _rewrite_key(key)
         leaf = key.split(".")[-1]
         if any(key.endswith(s) for s in _SKIP_SUFFIXES):
             continue
@@ -148,8 +165,14 @@ def convert_torch_checkpoint(src, model) -> Tuple[dict, dict]:
         cands: list[tuple[str, Any]] = []
         if leaf == "weight":
             if val.ndim == 4:
+                # ConvTranspose weights are IOHW and need a spatial mirror
+                # (see module docstring); with square in==out channels the
+                # plain-conv transpose is shape-identical but numerically
+                # wrong, so route by the reference's module name.
+                if base.endswith(("upsample", "conv_transpose")):
+                    cands.append(
+                        ("kernel", val[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)))
                 cands.append(("kernel", val.transpose(2, 3, 1, 0)))   # conv OIHW→HWIO
-                cands.append(("kernel", val.transpose(2, 3, 0, 1)))   # convT IOHW→HWIO
             elif val.ndim == 2:
                 cands.append(("kernel", val.T))
                 cands.append(("embedding", val))
