@@ -84,13 +84,19 @@ def test_session_protocol(collector, tmp_path):
     # heartbeat arrives without blocking the caller
     assert _wait(lambda: any("/heartbeat" in p for p, _, _ in store["requests"]))
 
-    # metrics queue accumulates across epochs and re-sends the whole queue
+    # metrics queue accumulates across epochs and re-sends the whole queue.
+    # Uploads are off-thread and the ThreadingHTTPServer records arrivals in
+    # completion order, so don't assume the LAST body is the cumulative one —
+    # just require that SOME upload carried the full queue.
     s.upload_metrics(metrics={0: {"mAP50": 0.1}})
     s.upload_metrics(metrics={1: {"mAP50": 0.2}})
-    assert _wait(lambda: sum("/metrics" in p for p, _, _ in store["requests"]) >= 2)
-    last = [b for p, _, b in store["requests"] if "/metrics" in p][-1]
-    q = json.loads(last)["metrics"]
-    assert set(q) == {"0", "1"} or set(q) == {0, 1}
+
+    def _metric_key_sets():
+        return [set(json.loads(b)["metrics"])
+                for p, _, b in store["requests"] if "/metrics" in p]
+
+    assert _wait(lambda: any(q in ({"0", "1"}, {0, 1})
+                             for q in _metric_key_sets()))
 
     # checkpoint upload: raw bytes + epoch headers
     ckpt = tmp_path / "best.ckpt"

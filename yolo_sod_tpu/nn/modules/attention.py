@@ -264,30 +264,95 @@ def window_reverse(windows, padded_size, win_size, orig_size):
     return x[:, :H, :W]
 
 
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense's exact tree ({kernel, bias}) and
+    initializers, so the fused Pallas path and the plain module path share
+    identical checkpoints / torch-converter mappings."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter container matching nn.LayerNorm's tree ({scale, bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+class _MHSAParams(nn.Module):
+    """torch-MultiheadAttention-shaped params (packed in_proj + out_proj),
+    tree-identical to the MHSA module's Dense submodules."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _DenseParams(self.dim, 3 * self.dim, name="in_proj")()
+        wo, bo = _DenseParams(self.dim, self.dim, name="out_proj")()
+        return wqkv, bqkv, wo, bo
+
+
 class WindowAttention(nn.Module):
     """Non-shifted windowed MSA: LN→MHA→residual, LN→MLP→residual per window.
 
-    Reference blocks_transformer.py:81-131.
+    Reference blocks_transformer.py:81-131. On TPU in the many-tiny-windows
+    regime the ENTIRE block runs as one fused Pallas kernel
+    (ops/pallas_swin_block.py) — the qkv tensor, score matrices, MLP hidden
+    and every LN intermediate stay in VMEM; HBM sees one (BW, L, C) read and
+    one write (fwd), plus the custom-VJP equivalents in the backward.
+    `fused=True/False` overrides the dispatch (tests force fused+interpret
+    on CPU); both paths create identical parameter trees.
     """
 
     dim: int
     num_heads: int = 4
     window_size: int = 7
     mlp_ratio: float = 2.0
+    fused: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, H, W, C = x.shape
         windows, padded, wsz = window_partition(x, self.window_size)
-        normed = nn.LayerNorm(name="norm1")(windows)
-        attn = MHSA(self.dim, self.num_heads, name="attn")(normed)
-        windows = windows + attn
-        y = nn.LayerNorm(name="norm2")(windows)
-        h = int(self.dim * self.mlp_ratio)
-        y = nn.Dense(h, name="mlp_0")(y)
-        y = jax.nn.gelu(y)
-        y = nn.Dense(self.dim, name="mlp_1")(y)
-        windows = windows + y
+        BW, L, _ = windows.shape
+        hdim = int(self.dim * self.mlp_ratio)
+
+        from yolo_sod_tpu.ops.pallas_attention import _tpu_backend
+        on_tpu = _tpu_backend()
+        use_fused = (BW >= 256 and L <= 64 and C <= 256
+                     and C % self.num_heads == 0 and on_tpu
+                     if self.fused is None else self.fused)
+        if use_fused:
+            from yolo_sod_tpu.ops.pallas_swin_block import swin_window_block
+            g1, be1 = _LayerNormParams(C, name="norm1")()
+            wqkv, bqkv, wo, bo = _MHSAParams(C, name="attn")()
+            g2, be2 = _LayerNormParams(C, name="norm2")()
+            w1m, b1m = _DenseParams(C, hdim, name="mlp_0")()
+            w2m, b2m = _DenseParams(hdim, C, name="mlp_1")()
+            windows = swin_window_block(
+                windows, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m,
+                w2m, b2m, self.num_heads, None, not on_tpu)
+        else:
+            normed = nn.LayerNorm(name="norm1")(windows)
+            attn = MHSA(self.dim, self.num_heads, name="attn")(normed)
+            windows = windows + attn
+            y = nn.LayerNorm(name="norm2")(windows)
+            y = nn.Dense(hdim, name="mlp_0")(y)
+            y = jax.nn.gelu(y)
+            y = nn.Dense(self.dim, name="mlp_1")(y)
+            windows = windows + y
         return window_reverse(windows, padded, wsz, (H, W))
 
 
