@@ -13,7 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from yolo_sod_tpu.ops.pallas_swin_block import (swin_window_block,
+from yolo_sod_tpu.ops.pallas_swin_block import (swin_block_spatial,
+                                                swin_window_block,
                                                 swin_window_block_ref)
 
 BW, L, C, HEADS, HID = 12, 49, 64, 4, 128
@@ -137,6 +138,56 @@ def test_module_paths_share_params_and_match():
         np.testing.assert_allclose(np.asarray(lf), np.asarray(lp),
                                    rtol=5e-4, atol=5e-4,
                                    err_msg=f"grad mismatch at {kp}")
+
+
+def _ref_spatial(x, p, heads, win=7):
+    """Oracle: XLA partition -> reference block -> reverse (the exact
+    composition the spatial kernel replaces)."""
+    from yolo_sod_tpu.nn.modules.attention import (window_partition,
+                                                   window_reverse)
+    wins, padded, wsz = window_partition(x, win)
+    y = swin_window_block_ref(wins, *[p[k] for k in ORDER], heads)
+    return window_reverse(y, padded, wsz, (x.shape[1], x.shape[2]))
+
+
+@pytest.mark.parametrize("hw", [(14, 14), (13, 13), (16, 9)])
+def test_spatial_forward_matches_partitioned(hw):
+    """The spatial kernel ≡ partition->block->reverse, including the
+    zero-pad-tokens-as-keys semantics of non-multiple H/W (boundary
+    windows masked in-kernel)."""
+    H, W = hw
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, H, W, C), jnp.float32)
+    p = _params(jax.random.PRNGKey(13))
+    got = swin_block_spatial(x, *[p[k] for k in ORDER], HEADS, 7, None, True)
+    want = _ref_spatial(x, p, HEADS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("gw", [None, 1])
+def test_spatial_gradients_match_partitioned(gw):
+    """Input + all 12 parameter gradients through the spatial custom VJP,
+    on a non-multiple map so masked boundary windows are in the grad path.
+    gw=1 exercises the window-chunked backward (multiple col blocks)."""
+    H, W = 13, 13
+    x = jax.random.normal(jax.random.PRNGKey(14), (2, H, W, C), jnp.float32)
+    p = _params(jax.random.PRNGKey(15))
+
+    def loss_k(x, p):
+        y = swin_block_spatial(x, *[p[k] for k in ORDER], HEADS, 7, gw, True)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_r(x, p):
+        return jnp.sum(jnp.sin(_ref_spatial(x, p, HEADS)))
+
+    gk_x, gk_p = jax.grad(loss_k, argnums=(0, 1))(x, p)
+    gr_x, gr_p = jax.grad(loss_r, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gk_x), np.asarray(gr_x),
+                               rtol=1e-4, atol=1e-4)
+    for k in ORDER:
+        np.testing.assert_allclose(
+            np.asarray(gk_p[k]), np.asarray(gr_p[k]), rtol=1e-4, atol=1e-4,
+            err_msg=f"param grad mismatch: {k}")
 
 
 @pytest.mark.parametrize("heads", [1, 2, 8])

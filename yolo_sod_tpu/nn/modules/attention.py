@@ -325,15 +325,35 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, H, W, C = x.shape
-        windows, padded, wsz = window_partition(x, self.window_size)
-        BW, L, _ = windows.shape
+        win = self.window_size
+        nwin = -(-H // win) * (-(-W // win))
         hdim = int(self.dim * self.mlp_ratio)
 
         from yolo_sod_tpu.ops.pallas_attention import _tpu_backend
         on_tpu = _tpu_backend()
-        use_fused = (BW >= 256 and L <= 64 and C <= 256
-                     and C % self.num_heads == 0 and on_tpu
+        use_fused = (B * nwin >= 256 and win * win <= 64 and C <= 256
+                     and C % self.num_heads == 0 and H > win and W > win
+                     and on_tpu
                      if self.fused is None else self.fused)
+        import os
+        spatial_ok = os.environ.get("YOLO_SOD_SWIN_SPATIAL", "0") == "1"
+        if use_fused and spatial_ok and H > win and W > win:
+            # Spatial fused kernel: partition/reverse live in VMEM too — the
+            # raw NHWC map is the only HBM tensor (ops/pallas_swin_block.py).
+            # OPT-IN, measured slower at the flagship shapes (PERF.md
+            # round-3 negative result: saves 1.4 GB/batch of partition
+            # copies but the in-kernel strip<->window relayout costs more
+            # VPU time than the copies did — fwd 21.5 -> 24.9 ms/batch).
+            from yolo_sod_tpu.ops.pallas_swin_block import swin_block_spatial
+            g1, be1 = _LayerNormParams(C, name="norm1")()
+            wqkv, bqkv, wo, bo = _MHSAParams(C, name="attn")()
+            g2, be2 = _LayerNormParams(C, name="norm2")()
+            w1m, b1m = _DenseParams(C, hdim, name="mlp_0")()
+            w2m, b2m = _DenseParams(hdim, C, name="mlp_1")()
+            return swin_block_spatial(
+                x, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m,
+                w2m, b2m, self.num_heads, win, None, not on_tpu)
+        windows, padded, wsz = window_partition(x, win)
         if use_fused:
             from yolo_sod_tpu.ops.pallas_swin_block import swin_window_block
             g1, be1 = _LayerNormParams(C, name="norm1")()

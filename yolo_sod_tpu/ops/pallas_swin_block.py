@@ -37,6 +37,7 @@ shapes so the 49-token axis needs no explicit padding.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -346,6 +347,271 @@ def _swin_bwd(heads, block_b, interpret, res, do):
 
 
 swin_window_block.defvjp(_swin_fwd, _swin_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Spatial form: window partition/reverse folded INTO the kernel.
+#
+# The (BW, L, C) kernel above still leaves XLA to build the partitioned
+# tensor: pad H/W to window multiples, a 6-D reshape/transpose pair, plus a
+# layout copy forced by the custom-call operand constraint — measured
+# ~320 MB/batch of writes (and the same again in reads) at the P2 site alone
+# (tools/hlo_bytes.py, 2026-08-19). The spatial kernel instead reads 7-row
+# strips of the raw NHWC feature map directly via BlockSpec, builds the
+# (gw, 49, C) window batch in VMEM, runs the identical block math, and
+# scatters the strip back — HBM sees ONE read and ONE write of the map and
+# nothing else. Out-of-bounds rows/cols of boundary blocks are zero-masked
+# in-kernel, reproducing the reference's zero-pad-tokens-as-keys semantics
+# (blocks_transformer.py:8-47 pads with zeros and crops after reverse)
+# without materializing the pad.
+#
+# MEASURED NEGATIVE RESULT (2026-08-19, v5e, flagship 640x640 batch 16,
+# back-to-back profile_pipeline A/B): the traffic win is real (forward
+# 12.32 -> 10.92 GB/batch) but wall time REGRESSES 21.5 -> 24.9 ms/batch.
+# The in-kernel strip->window relayout — reshape splitting the second-minor
+# strip dim (gw*7) into (gw, 7) plus the (gw, win) transpose, twice per
+# direction per step — is pure VREG-shuffle work that costs ~4.5 ms/batch,
+# nearly 3x the ~1.7 ms the saved partition copies were worth at the
+# 819 GB/s roofline. Mosaic relayouts across the sublane dim are that
+# expensive; XLA's HBM-level 6-D transpose is cheaper per element. The
+# kernel stays available opt-in (YOLO_SOD_SWIN_SPATIAL=1) and
+# parity-tested; the default path remains XLA partition + the (BW, L, C)
+# whole-block kernel above.
+#
+# Mosaic tiling constraint (also recorded here): the strip block's
+# second-minor dim gw*win must be divisible by 8 or equal W exactly, and
+# i1 masks cannot be minor-dim-expanded (build them 3-D via iota).
+# ---------------------------------------------------------------------------
+
+
+def _strip_to_windows(strip, win: int, gw: int):
+    """(win, gw*win, C) -> (gw, win*win, C): the in-VMEM window partition."""
+    C = strip.shape[-1]
+    x = strip.reshape(win, gw, win, C).transpose(1, 0, 2, 3)
+    return x.reshape(gw, win * win, C)
+
+
+def _windows_to_strip(wins, win: int, gw: int):
+    """Inverse of _strip_to_windows."""
+    C = wins.shape[-1]
+    x = wins.reshape(gw, win, win, C).transpose(1, 0, 2, 3)
+    return x.reshape(win, gw * win, C)
+
+
+def _strip_mask(H: int, W: int, win: int, Wb: int, nH: int, nWB: int):
+    """(win, Wb, 1) validity mask for the current grid step's strip.
+
+    Built 3-D directly: Mosaic cannot expand a minor dim on an i1 vector
+    ("insertion of minor dim ... only supported for 32-bit types"), so
+    mask[..., None] on a 2-D bool is not lowerable on TPU.
+    """
+    t = pl.program_id(0)
+    r = (t // nWB) % nH
+    cb = t % nWB
+    rows = jax.lax.broadcasted_iota(jnp.int32, (win, Wb, 1), 0) + r * win
+    cols = jax.lax.broadcasted_iota(jnp.int32, (win, Wb, 1), 1) + cb * Wb
+    return (rows < H) & (cols < W)
+
+
+def _sp_fwd_kernel(x_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref, wo_ref,
+                   bo_ref, g2_ref, be2_ref, w1m_ref, b1m_ref, w2m_ref,
+                   b2m_ref, o_ref, *, heads: int, scale: float, H: int,
+                   W: int, win: int, gw: int, nH: int, nWB: int):
+    Wb = gw * win
+    mask = _strip_mask(H, W, win, Wb, nH, nWB)
+    strip = jnp.where(mask, x_ref[0].astype(jnp.float32), 0.0)
+    w = _strip_to_windows(strip, win, gw)
+    f32 = lambda r: r[...].astype(jnp.float32)  # noqa: E731
+    w1, _ = _attn_fwd(w, f32(g1_ref), f32(be1_ref), f32(wqkv_ref),
+                      f32(bqkv_ref), f32(wo_ref), f32(bo_ref), heads, scale)
+    ln2, _, _ = _ln_fwd(w1, f32(g2_ref), f32(be2_ref))
+    h1 = _bmm(ln2, f32(w1m_ref)) + f32(b1m_ref)
+    y = w1 + _bmm(_gelu(h1), f32(w2m_ref)) + f32(b2m_ref)
+    o_ref[0] = _windows_to_strip(y, win, gw).astype(o_ref.dtype)
+
+
+def _sp_bwd_kernel(x_ref, do_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref,
+                   wo_ref, bo_ref, g2_ref, be2_ref, w1m_ref, b1m_ref,
+                   w2m_ref, b2m_ref,
+                   dx_ref, dg1_ref, dbe1_ref, dwqkv_ref, dbqkv_ref, dwo_ref,
+                   dbo_ref, dg2_ref, dbe2_ref, dw1m_ref, db1m_ref, dw2m_ref,
+                   db2m_ref, *, heads: int, scale: float, H: int, W: int,
+                   win: int, gw: int, nH: int, nWB: int):
+    grad_refs = (dg1_ref, dbe1_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+                 dg2_ref, dbe2_ref, dw1m_ref, db1m_ref, dw2m_ref, db2m_ref)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grad_refs:
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    Wb = gw * win
+    mask = _strip_mask(H, W, win, Wb, nH, nWB)
+    strip = jnp.where(mask, x_ref[0].astype(jnp.float32), 0.0)
+    dstrip = jnp.where(mask, do_ref[0].astype(jnp.float32), 0.0)
+    w = _strip_to_windows(strip, win, gw)
+    do = _strip_to_windows(dstrip, win, gw)
+    f32 = lambda r: r[...].astype(jnp.float32)  # noqa: E731
+    g1, be1, wqkv, bqkv, wo, bo = (f32(r) for r in (
+        g1_ref, be1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref))
+    g2, be2, w1m, b1m, w2m, b2m = (f32(r) for r in (
+        g2_ref, be2_ref, w1m_ref, b1m_ref, w2m_ref, b2m_ref))
+
+    # recompute forward residuals in VMEM
+    w1, (ln1, xh1, rstd1, qkv, probs, attn) = _attn_fwd(
+        w, g1, be1, wqkv, bqkv, wo, bo, heads, scale)
+    ln2, xh2, rstd2 = _ln_fwd(w1, g2, be2)
+    h1 = _bmm(ln2, w1m) + b1m
+    a1 = _gelu(h1)
+
+    # MLP half backward
+    dm = do
+    dw2m_ref[...] += _wgrad(a1, dm)
+    db2m_ref[...] += _bias_grad(dm)
+    dh1 = _bmm_t(dm, w2m) * _gelu_grad(h1)
+    dw1m_ref[...] += _wgrad(ln2, dh1)
+    db1m_ref[...] += _bias_grad(dh1)
+    dln2 = _bmm_t(dh1, w1m)
+    dw1_ln, dg2, dbe2 = _ln_bwd(dln2, xh2, rstd2, g2)
+    dg2_ref[...] += dg2
+    dbe2_ref[...] += dbe2
+    dw1 = do + dw1_ln
+
+    # attention half backward
+    dwo_ref[...] += _wgrad(attn, dw1)
+    dbo_ref[...] += _bias_grad(dw1)
+    dattn = _bmm_t(dw1, wo)
+    C = w.shape[2]
+    hd = C // heads
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        p = probs[h]
+        kh = jax.lax.slice_in_dim(qkv, C + h * hd, C + (h + 1) * hd, axis=2)
+        vh = jax.lax.slice_in_dim(qkv, 2 * C + h * hd, 2 * C + (h + 1) * hd,
+                                  axis=2)
+        qh = _head(qkv, h, hd)
+        doh = _head(dattn, h, hd)
+        dvs.append(jax.lax.dot_general(
+            p, doh, dimension_numbers=(((1,), (1,)), ((0,), (0,)))))
+        dp = jax.lax.dot_general(
+            doh, vh, dimension_numbers=(((2,), (2,)), ((0,), (0,))))
+        ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
+        dqs.append(jax.lax.dot_general(
+            ds, kh, dimension_numbers=(((2,), (1,)), ((0,), (0,)))) * scale)
+        dks.append(jax.lax.dot_general(
+            ds, qh, dimension_numbers=(((1,), (1,)), ((0,), (0,)))) * scale)
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=2)
+    dwqkv_ref[...] += _wgrad(ln1, dqkv)
+    dbqkv_ref[...] += _bias_grad(dqkv)
+    dln1 = _bmm_t(dqkv, wqkv)
+    dw_ln, dg1, dbe1 = _ln_bwd(dln1, xh1, rstd1, g1)
+    dg1_ref[...] += dg1
+    dbe1_ref[...] += dbe1
+    dx_ref[0] = _windows_to_strip(dw1 + dw_ln, win, gw).astype(dx_ref.dtype)
+
+
+def _sp_grid(B: int, H: int, W: int, win: int, gw: int):
+    nH = -(-H // win)
+    nW = -(-W // win)
+    nWB = -(-nW // gw)
+    return nH, nW, nWB
+
+
+def _sp_gw(W: int, win: int, C: int, bwd: bool) -> int:
+    """Windows per strip block, subject to the Mosaic tiling rule: the
+    block's second-minor dim (strip width gw*win) must be divisible by 8
+    or equal W exactly. Among legal choices under the VMEM cap (backward
+    keeps a larger live set), minimize over-read of out-of-bounds window
+    columns, tie-breaking toward fewer grid steps."""
+    nW = -(-W // win)
+    cap = (nW if C <= 128 else 12) if not bwd else (8 if C <= 128 else 4)
+    cap = max(cap, 1)
+    cands = []
+    if W % win == 0 and nW <= cap:
+        cands.append(nW)                     # exact cover: Wb == W
+    g = 8 // math.gcd(win, 8)                # smallest gw with win*gw % 8 == 0
+    cands += [g * k for k in range(1, max(cap // g, 1) + 1)]
+    return min(cands, key=lambda gw: ((-(-nW // gw)) * gw - nW, -(-nW // gw)))
+
+
+def _sp_specs(B, H, W, C, win, gw, nH, nWB, params, dtype):
+    Wb = gw * win
+    xspec = pl.BlockSpec(
+        (1, win, Wb, C),
+        lambda t: (t // (nH * nWB), (t // nWB) % nH, t % nWB, 0),
+        memory_space=pltpu.VMEM)
+    pspecs = [_const_spec(p.shape) for p in params]
+    return xspec, pspecs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+def swin_block_spatial(x, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m,
+                       w2m, b2m, heads: int, win: int = 7,
+                       block_windows: int | None = None,
+                       interpret: bool = False):
+    """Fused Swin window block on the raw (B, H, W, C) map.
+
+    Equivalent to window_partition -> swin_window_block -> window_reverse
+    (reference blocks_transformer.py:81-131 incl. its zero-pad semantics:
+    pad tokens of boundary windows participate as keys, padded outputs are
+    cropped) with the partition/reverse data movement kept in VMEM.
+    Requires H > win or W > win (the degenerate single-window case keeps the
+    plain path). Parity pinned by tests/test_swin_block_kernel.py.
+    """
+    out, _ = _sp_fwd(x, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m,
+                     w2m, b2m, heads, win, block_windows, interpret)
+    return out
+
+
+def _sp_fwd(x, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m, w2m, b2m,
+            heads, win, block_windows, interpret):
+    B, H, W, C = x.shape
+    scale = (C // heads) ** -0.5
+    gw = block_windows or _sp_gw(W, win, C, bwd=False)
+    nH, nW, nWB = _sp_grid(B, H, W, win, gw)
+    prims = (g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m, w2m, b2m)
+    params = [_expand(p, gw, win * win) for p in prims]
+    xspec, pspecs = _sp_specs(B, H, W, C, win, gw, nH, nWB, params, x.dtype)
+    out = pl.pallas_call(
+        functools.partial(_sp_fwd_kernel, heads=heads, scale=scale, H=H,
+                          W=W, win=win, gw=gw, nH=nH, nWB=nWB),
+        grid=(B * nH * nWB,),
+        in_specs=[xspec] + pspecs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        interpret=interpret,
+    )(x, *params)
+    return out, (x, *prims)
+
+
+def _sp_bwd(heads, win, block_windows, interpret, res, do):
+    x, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m, w2m, b2m = res
+    B, H, W, C = x.shape
+    scale = (C // heads) ** -0.5
+    gw = block_windows or _sp_gw(W, win, C, bwd=True)
+    nH, nW, nWB = _sp_grid(B, H, W, win, gw)
+    prims = (g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m, w2m, b2m)
+    params = [_expand(p, gw, win * win) for p in prims]
+    xspec, pspecs = _sp_specs(B, H, W, C, win, gw, nH, nWB, params, x.dtype)
+    grad_shapes = [jax.ShapeDtypeStruct(_grad_shape(p), jnp.float32)
+                   for p in prims]
+    outs = pl.pallas_call(
+        functools.partial(_sp_bwd_kernel, heads=heads, scale=scale, H=H,
+                          W=W, win=win, gw=gw, nH=nH, nWB=nWB),
+        grid=(B * nH * nWB,),
+        in_specs=[xspec, xspec] + pspecs,
+        out_specs=[xspec] + [_const_spec(_grad_shape(p)) for p in prims],
+        out_shape=[jax.ShapeDtypeStruct((B, H, W, C), x.dtype)]
+        + grad_shapes,
+        interpret=interpret,
+    )(x, do, *params)
+    dx = outs[0]
+    grads = [g.reshape(p.shape).astype(p.dtype)
+             for g, p in zip(outs[1:], prims)]
+    return (dx, *grads)
+
+
+swin_block_spatial.defvjp(_sp_fwd, _sp_bwd)
 
 
 def swin_window_block_ref(w, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m,
