@@ -104,6 +104,41 @@ def test_staged_config_and_callbacks():
     assert t.args.mosaic == 0.8
 
 
+def test_early_phase_callback():
+    """Anomalous early loss halves lr and decays the cls gain through
+    set_loss_gains; calm losses and late epochs are no-ops (reference
+    callbacks/early_phase_tweaks.py)."""
+    from yolo_sod_tpu.engine.staged import create_early_phase_callback
+
+    class FakeArgs:
+        cls = 0.5
+
+    class FakeTrainer:
+        def __init__(self):
+            self.args = FakeArgs()
+            self.epoch = 2
+            self.lr0 = 0.002
+            self.tloss = [1500.0, 900.0, 1200.0]
+            self.gains = []
+
+        def set_loss_gains(self, cls=None, **kw):
+            self.gains.append(cls)
+            self.args.cls = cls
+
+    cb = create_early_phase_callback(max_epoch=10, loss_threshold=1000.0)
+    t = FakeTrainer()
+    cb(t)
+    assert t.lr0 == 0.001 and t.gains == [0.4]
+    cb(t)                                   # still anomalous: decays again
+    assert t.lr0 == 0.0005 and abs(t.args.cls - 0.32) < 1e-9
+    t.tloss = 5.0                           # calm loss: no-op
+    cb(t)
+    assert t.lr0 == 0.0005
+    t.tloss, t.epoch = 9999.0, 10           # late epoch: no-op
+    cb(t)
+    assert t.lr0 == 0.0005
+
+
 def test_staged_training_end_to_end():
     """HCP staged protocol drives the real trainer: stage switch mutates lr +
     aug, the P2 gate flips DetectStable's mask mid-run (one retrace), and the

@@ -312,3 +312,35 @@ def test_format_converters_match_reference():
         ref = rops.resample_segments([seg.copy()], n=m)[0]
         assert ours.shape == (m, 2)
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_decode_per_level_biteq_concat_oracle():
+    """decode_detections decodes each level before the anchor concat (the
+    layout-friendly form); it must stay BIT-equal to decoding the
+    concatenated maps (the reference Detect._inference order,
+    head.py:100-131) for both xywh and xyxy outputs."""
+    from yolo_sod_tpu.ops.boxes import dist2bbox, make_anchors
+    from yolo_sod_tpu.ops.decode import decode_detections, dfl_expectation
+
+    def oracle(feats, strides, nc, reg_max=16, xywh=True):
+        b = feats[0].shape[0]
+        no = 4 * reg_max + nc
+        x = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)
+        bl, cl = x[..., :4 * reg_max], x[..., 4 * reg_max:]
+        anchors, stride_t = make_anchors([(f.shape[1], f.shape[2])
+                                          for f in feats], strides)
+        boxes = dist2bbox(dfl_expectation(bl, reg_max), anchors[None],
+                          xywh=xywh) * stride_t[None]
+        return jnp.concatenate(
+            [boxes, jax.nn.sigmoid(cl.astype(jnp.float32))], axis=-1)
+
+    rng = np.random.default_rng(0)
+    nc, rm = 10, 16
+    feats = [jnp.asarray(rng.standard_normal((2, h, w, 4 * rm + nc)),
+                         jnp.float32)
+             for h, w in [(16, 16), (8, 8), (4, 4), (2, 2)]]
+    strides = [4, 8, 16, 32]
+    for xywh in (True, False):
+        got = decode_detections(feats, strides, nc, rm, xywh)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(oracle(feats, strides, nc, rm, xywh)))

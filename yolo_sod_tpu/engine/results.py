@@ -200,25 +200,44 @@ class Results:
         return self
 
     def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5,
-             img: Optional[np.ndarray] = None) -> np.ndarray:
-        """Draw boxes + labels on (a copy of) the original image."""
-        import cv2
+             img: Optional[np.ndarray] = None, masks: bool = True,
+             kpt_line: bool = True, conf_thres: float = 0.25) -> np.ndarray:
+        """Render every present modality — masks, then boxes/OBB, then
+        keypoints — on (a copy of) the original image via Annotator
+        (reference results.py Results.plot)."""
+        from yolo_sod_tpu.utils.plotting import Annotator
 
         im = (img if img is not None else self.orig_img).copy()
-        lw = line_width or max(round(sum(im.shape) / 2 * 0.003), 2)
-        for x1, y1, x2, y2, conf, cls, *rest in self.boxes.data:
-            c = int(cls)
-            color = _color(c)
-            p1, p2 = (int(x1), int(y1)), (int(x2), int(y2))
-            cv2.rectangle(im, p1, p2, color, lw)
-            label = f"{self.names.get(c, c)} {conf:.2f}"
-            if rest:
-                label = f"id:{int(rest[0])} " + label
-            tsize = cv2.getTextSize(label, 0, font_scale, 1)[0]
-            cv2.rectangle(im, p1, (p1[0] + tsize[0], p1[1] - tsize[1] - 3), color, -1)
-            cv2.putText(im, label, (p1[0], p1[1] - 2), 0, font_scale,
-                        (255, 255, 255), 1, cv2.LINE_AA)
-        return im
+        ann = Annotator(im, line_width=line_width)
+        if masks and self.masks is not None and len(self.masks):
+            cls_src = (self.boxes.cls if self.boxes is not None and
+                       len(self.boxes) else np.zeros(len(self.masks)))
+            ann.masks(self.masks.data,
+                      [_color(int(c)) for c in cls_src[:len(self.masks)]])
+        if self.obb is not None and len(self.obb):
+            from yolo_sod_tpu.ops.boxes import xywhr2xyxyxyxy
+            polys = np.asarray(xywhr2xyxyxyxy(self.obb.xywhr))
+            for poly, conf, cls in zip(polys, self.obb.conf, self.obb.cls):
+                c = int(cls)
+                ann.box_label(poly, f"{self.names.get(c, c)} {conf:.2f}",
+                              color=_color(c), rotated=True)
+        elif self.boxes is not None:
+            for x1, y1, x2, y2, conf, cls, *rest in self.boxes.data:
+                c = int(cls)
+                label = f"{self.names.get(c, c)} {conf:.2f}"
+                if rest:
+                    label = f"id:{int(rest[0])} " + label
+                ann.box_label((x1, y1, x2, y2), label, color=_color(c))
+        if self.keypoints is not None:
+            for inst in self.keypoints.data:
+                ann.kpts(inst, shape=self.orig_shape, kpt_line=kpt_line,
+                         conf_thres=conf_thres)
+        if self.probs is not None:
+            top = self.probs.top5
+            text = "; ".join(f"{self.names.get(i, i)} "
+                             f"{float(self.probs.data[i]):.2f}" for i in top[:3])
+            ann.text((8, 24), text, txt_color=(255, 255, 255), box_style=True)
+        return ann.result()
 
     def save(self, filename: str) -> str:
         import cv2

@@ -78,6 +78,33 @@ def create_p2_toggle_callback(close_p2_until: int = 30):
     return on_train_epoch_start
 
 
+def create_early_phase_callback(max_epoch: int = 10,
+                                loss_threshold: float = 1000.0):
+    """on_train_epoch_end handler: if the early-epoch running loss is
+    anomalously large, halve the learning rate and decay the cls gain
+    toward a 0.2 floor (reference callbacks/early_phase_tweaks.py). lr
+    feeds the injected optax hyperparams (no retrace); the cls-gain change
+    goes through trainer.set_loss_gains (one retrace per change)."""
+    import numpy as np
+
+    def on_train_epoch_end(trainer):
+        if trainer.epoch >= max_epoch:
+            return
+        tloss = getattr(trainer, "tloss", None)
+        if tloss is None:
+            return
+        est = float(np.mean(np.atleast_1d(np.asarray(tloss, dtype=float))))
+        if est > loss_threshold:
+            trainer.lr0 *= 0.5
+            new_cls = max(0.2, float(trainer.args.cls) * 0.8)
+            LOGGER.info(f"early-phase guard: loss {est:.1f} > "
+                        f"{loss_threshold:.0f}; lr0 -> {trainer.lr0:.2e}, "
+                        f"cls gain -> {new_cls:.3f}")
+            trainer.set_loss_gains(cls=new_cls)
+
+    return on_train_epoch_end
+
+
 def train_staged(cfg: str = "yolov12-sod-fusion-v5.yaml",
                  data: str = "visdrone.yaml", epochs: int = 400,
                  batch: int = 16, imgsz: int = 640, close_p2_until: int = 30,

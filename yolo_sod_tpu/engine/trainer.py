@@ -304,6 +304,21 @@ class DetectionTrainer:
             self.active_mask = tuple(mask)
             self._compile_step()
 
+    def set_loss_gains(self, box=None, cls=None, dfl=None):
+        """Mutate criterion gains mid-run (reference
+        callbacks/early_phase_tweaks.py lowers args.cls on anomalous early
+        loss). Gains are trace-time constants of the jitted step, so this
+        rebuilds criterion + step — ONE retrace per change, like the P2
+        mask flip, never per step."""
+        changed = False
+        for k, v in (("box", box), ("cls", cls), ("dfl", dfl)):
+            if v is not None and getattr(self.args, k) != v:
+                setattr(self.args, k, v)
+                changed = True
+        if changed:
+            self.criterion = self.build_criterion(self.criterion.nc)
+            self._compile_step()
+
     # -- resume ---------------------------------------------------------------
     def _check_resume(self):
         """Pre-setup: reload the original run's train args from the checkpoint

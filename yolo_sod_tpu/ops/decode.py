@@ -37,20 +37,26 @@ def decode_detections(feats: Sequence[jax.Array], strides: Sequence[int],
 
     Returns:
         (B, A, 4+nc): decoded boxes in input-image pixels + sigmoid class scores.
+
+    Decodes each level BEFORE concatenating: the level concat then moves
+    (4+nc)-channel decoded tensors instead of (4*reg_max+nc)-channel raw
+    maps, so XLA never materializes a re-laid-out copy of the big P2 map
+    to satisfy the concat's uniform-layout constraint (hlo_bytes found a
+    60.6 MB (16,160,160,74) layout copy per batch on the old form).
+    Bit-equal to decoding the concatenated maps: make_anchors is a
+    per-level concat and every decode op is per-anchor elementwise.
     """
-    b = feats[0].shape[0]
-    no = 4 * reg_max + nc
-    flat = [f.reshape(b, -1, no) for f in feats]
-    x = jnp.concatenate(flat, axis=1)                       # (B, A, no)
-    box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max:]
-
-    hw = [(f.shape[1], f.shape[2]) for f in feats]
-    anchors, stride_t = make_anchors(hw, strides)           # (A,2), (A,1)
-
-    dist = dfl_expectation(box_logits, reg_max)             # (B, A, 4)
-    boxes = dist2bbox(dist, anchors[None], xywh=xywh) * stride_t[None]
-    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    return jnp.concatenate([boxes, scores], axis=-1)
+    outs = []
+    for f, s in zip(feats, strides):
+        b, h, w, no = f.shape
+        x = f.reshape(b, h * w, no)
+        box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max:]
+        anchors, stride_t = make_anchors([(h, w)], [s])     # (HW,2), (HW,1)
+        dist = dfl_expectation(box_logits, reg_max)         # (B, HW, 4)
+        boxes = dist2bbox(dist, anchors[None], xywh=xywh) * stride_t[None]
+        scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+        outs.append(jnp.concatenate([boxes, scores], axis=-1))
+    return jnp.concatenate(outs, axis=1)
 
 
 def decode_obb(det_maps: Sequence[jax.Array], angle_maps: Sequence[jax.Array],
