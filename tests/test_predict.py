@@ -93,3 +93,52 @@ def test_embed(model):
     c = model.embed([img], embed=[4, 6], imgsz=64)[0]
     assert c.shape[0] == a.shape[0] + b.shape[0]
     assert np.allclose(c[: a.shape[0]], a) and np.allclose(c[a.shape[0]:], b)
+
+
+def test_predict_txt_csv_sources(model):
+    """txt/csv files listing image paths are expanded one source per
+    line/cell (reference tests/test_python.py test_predict_txt,
+    test_predict_csv_multi_row, test_predict_csv_single_row)."""
+    import cv2
+
+    d = TMP / "listsrc"
+    d.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i in range(3):
+        p = d / f"s{i}.jpg"
+        cv2.imwrite(str(p), (np.random.rand(40, 64, 3) * 255).astype(np.uint8))
+        paths.append(str(p))
+    txt = d / "sources.txt"
+    txt.write_text("\n".join(paths[:2]) + "\n\n")
+    assert len(model.predict(str(txt), imgsz=64, verbose=False)) == 2
+    csv_multi = d / "multi.csv"
+    csv_multi.write_text("\n".join(f'"{p}"' for p in paths))
+    assert len(model.predict(str(csv_multi), imgsz=64, verbose=False)) == 3
+    csv_single = d / "single.csv"
+    csv_single.write_text(",".join(paths[:2]))
+    assert len(model.predict(str(csv_single), imgsz=64, verbose=False)) == 2
+
+
+def test_predict_grey_and_4ch(model):
+    """Grayscale and 4-channel array sources normalize to 3-channel BGR
+    (reference test_predict_grey_and_4ch)."""
+    grey2d = (np.random.rand(48, 64) * 255).astype(np.uint8)
+    grey1c = grey2d[..., None]
+    bgra = (np.random.rand(48, 64, 4) * 255).astype(np.uint8)
+    for src in (grey2d, grey1c, bgra):
+        r = model.predict(src, imgsz=64, verbose=False)
+        assert len(r) == 1 and r[0].orig_shape == (48, 64)
+        assert r[0].orig_img.shape[-1] == 3
+
+
+def test_predict_save_flags(model, tmp_path):
+    """save / save_txt / save_crop write rendered image, YOLO labels, and
+    per-class crops under save_dir (reference test_labels_and_crops)."""
+    img = (np.random.rand(48, 64, 3) * 255).astype(np.uint8)
+    model.predict(img, imgsz=64, conf=0.0001, save=True, save_txt=True,
+                  save_crop=True, project=str(tmp_path), name="run",
+                  verbose=False)
+    out = tmp_path / "run"
+    assert (out / "array.jpg").exists()
+    assert (out / "labels" / "array.txt").exists()
+    # crops exist only if something was detected above conf

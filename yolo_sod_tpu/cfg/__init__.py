@@ -233,6 +233,9 @@ def entrypoint(debug: str = ""):
     yolo = YOLO(model, task=task)
     if mode in ("train", "val") and "data" not in overrides:
         overrides["data"] = TASK2DATA.get(task or "detect")
+    if mode in ("predict", "track"):
+        # CLI predictions save by default (reference is_cli semantics).
+        overrides.setdefault("save", True)
     LOGGER.info(f"{colorstr('yolo-sod:')} task={task or yolo.task} mode={mode} model={model}")
     return getattr(yolo, mode)(**overrides)
 

@@ -115,7 +115,10 @@ class Model:
         """Run inference on a source (array, path, dir, list). Returns Results
         list. The predictor class routes per task (classify returns top-k
         probs and never touches NMS — reference classify/predict.py)."""
-        args = {**self.overrides, "conf": kwargs.pop("conf", 0.25), "mode": "predict", **kwargs}
+        # save defaults OFF for the Python API; the CLI opts in explicitly
+        # (reference model.py:508 custom["save"] = is_cli).
+        args = {**self.overrides, "conf": kwargs.pop("conf", 0.25),
+                "save": False, "mode": "predict", **kwargs}
         if self.predictor is None:
             predictor_cls = self.task_map[self.task]["predictor"]
             self.predictor = predictor_cls(overrides=args)

@@ -53,7 +53,7 @@ class ClassificationPredictor(DetectionPredictor):
             res = Results(im0, path, self.model.names, probs=probs[i],
                           speed={"preprocess": t_pre * 1e3,
                                  "inference": t_inf * 1e3, "postprocess": 0.0})
-            yield res
+            yield self._emit(res, path, t_inf)
 
 
 class SegmentationPredictor(DetectionPredictor):
@@ -120,11 +120,12 @@ class SegmentationPredictor(DetectionPredictor):
             d = det[i][:nv].copy()
             d[:, :4] = scale_boxes_np(d[:, :4], ratio_pad, im0.shape[:2])
             t_post = time.perf_counter() - t0
-            yield Results(im0, path, self.model.names, boxes=d,
-                          masks=masks[i][:nv],
-                          speed={"preprocess": t_pre * 1e3,
-                                 "inference": t_inf * 1e3,
-                                 "postprocess": t_post * 1e3})
+            yield self._emit(
+                Results(im0, path, self.model.names, boxes=d,
+                        masks=masks[i][:nv],
+                        speed={"preprocess": t_pre * 1e3,
+                               "inference": t_inf * 1e3,
+                               "postprocess": t_post * 1e3}), path, t_inf)
 
 
 class PosePredictor(DetectionPredictor):
@@ -187,10 +188,11 @@ class PosePredictor(DetectionPredictor):
             k[..., 0] = (k[..., 0] - dw) / r
             k[..., 1] = (k[..., 1] - dh) / r
             t_post = time.perf_counter() - t0
-            yield Results(im0, path, self.model.names, boxes=d, keypoints=k,
-                          speed={"preprocess": t_pre * 1e3,
-                                 "inference": t_inf * 1e3,
-                                 "postprocess": t_post * 1e3})
+            yield self._emit(
+                Results(im0, path, self.model.names, boxes=d, keypoints=k,
+                        speed={"preprocess": t_pre * 1e3,
+                               "inference": t_inf * 1e3,
+                               "postprocess": t_post * 1e3}), path, t_inf)
 
 
 class OBBPredictor(DetectionPredictor):
@@ -250,7 +252,8 @@ class OBBPredictor(DetectionPredictor):
                           rb[:, 0] + half_w, rb[:, 1] + half_h,
                           rb[:, 5], rb[:, 6]], 1)
             t_post = time.perf_counter() - t0
-            yield Results(im0, path, self.model.names, boxes=d, obb=rb,
-                          speed={"preprocess": t_pre * 1e3,
-                                 "inference": t_inf * 1e3,
-                                 "postprocess": t_post * 1e3})
+            yield self._emit(
+                Results(im0, path, self.model.names, boxes=d, obb=rb,
+                        speed={"preprocess": t_pre * 1e3,
+                               "inference": t_inf * 1e3,
+                               "postprocess": t_post * 1e3}), path, t_inf)

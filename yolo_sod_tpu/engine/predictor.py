@@ -31,21 +31,45 @@ from yolo_sod_tpu.utils import LOGGER
 VID_FORMATS = {"asf", "avi", "gif", "m4v", "mkv", "mov", "mp4", "mpeg", "mpg", "ts", "webm", "wmv"}
 
 
+def _as_bgr3(im: np.ndarray) -> np.ndarray:
+    """Normalize grayscale (H, W) / (H, W, 1) and 4-channel BGRA arrays to
+    3-channel BGR (reference loaders accept grey/4ch sources —
+    tests/test_python.py test_predict_grey_and_4ch)."""
+    if im.ndim == 2:
+        return np.repeat(im[..., None], 3, axis=-1)
+    if im.shape[-1] == 1:
+        return np.repeat(im, 3, axis=-1)
+    if im.shape[-1] == 4:
+        return np.ascontiguousarray(im[..., :3])
+    return im
+
+
 def load_source(source, vid_stride: int = 1):
-    """Yield (path, BGR image) pairs from array / path / dir / list / video.
+    """Yield (path, BGR image) pairs from array / path / dir / list / video /
+    txt-or-csv path list.
 
     Contract of the absent ultralytics.data.build.load_inference_source.
     """
     import cv2
 
     if isinstance(source, np.ndarray):
-        yield "array", source
+        yield "array", _as_bgr3(source)
         return
     if isinstance(source, (list, tuple)):
         for s in source:
             yield from load_source(s, vid_stride)
         return
     p = Path(str(source))
+    if p.suffix.lower() in (".txt", ".csv") and p.is_file():
+        # one source per line; csv rows may hold several comma-split cells
+        # (reference test_predict_txt / test_predict_csv_*)
+        for line in p.read_text().splitlines():
+            for cell in (line.split(",") if p.suffix.lower() == ".csv"
+                         else [line]):
+                cell = cell.strip().strip('"')
+                if cell:
+                    yield from load_source(cell, vid_stride)
+        return
     if p.is_dir():
         for f in sorted(p.rglob("*")):
             if f.suffix.lower().lstrip(".") in IMG_FORMATS:
@@ -138,6 +162,13 @@ class DetectionPredictor:
         imgsz = int(args.imgsz or 640)
         batch_size = max(int(getattr(args, "batch", 1) or 1), 1)
 
+        # Resolve the output dir fresh per inference run: each run gets its
+        # own incremented runs/{task}/predictN like the reference, and stale
+        # dirs never survive an args change on a reused predictor.
+        if args.save or args.save_txt or getattr(args, "save_crop", False):
+            from yolo_sod_tpu.cfg import get_save_dir
+            self.save_dir = get_save_dir(args)
+
         with self._lock:
             buf_imgs, buf_meta = [], []
             for path, im0 in load_source(source, vid_stride=args.vid_stride or 1):
@@ -175,9 +206,40 @@ class DetectionPredictor:
             res = Results(im0, path, names, boxes=d,
                           speed={"preprocess": t_pre * 1e3, "inference": t_inf * 1e3,
                                  "postprocess": t_post * 1e3})
-            for cb in self.callbacks.get("on_predict_postprocess_end", []):
-                cb(self, res)
-            if self.args.verbose:
-                LOGGER.info(f"{path}: {res.verbose()} "
-                            f"({t_inf * 1e3:.1f}ms inference)")
-            yield res
+            yield self._emit(res, path, t_inf)
+
+    def _emit(self, res, path: str, t_inf: float = 0.0):
+        """Per-result epilogue shared by every task predictor: postprocess
+        callbacks, verbose line, save/save_txt/save_crop outputs."""
+        for cb in self.callbacks.get("on_predict_postprocess_end", []):
+            cb(self, res)
+        if self.args.verbose:
+            LOGGER.info(f"{path}: {res.verbose()} "
+                        f"({t_inf * 1e3:.1f}ms inference)")
+        self._write_outputs(res, path)
+        return res
+
+    def _write_outputs(self, res, path: str):
+        """Honor save / save_txt / save_crop under save_dir (reference
+        predictor write_results + Results save_txt/save_crop doctrine,
+        tests/test_python.py test_labels_and_crops)."""
+        args = self.args
+        if not (args.save or args.save_txt or getattr(args, "save_crop", False)):
+            return
+        stem = Path(str(path)).stem.replace("#", "_") or "array"
+        if args.save:
+            import cv2
+            out = Path(self.save_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(out / f"{stem}.jpg"), res.plot())
+        if args.save_txt:
+            res.save_txt(Path(self.save_dir) / "labels" / f"{stem}.txt",
+                         save_conf=bool(getattr(args, "save_conf", False)))
+        if getattr(args, "save_crop", False):
+            from yolo_sod_tpu.utils.plotting import save_one_box
+            for i in range(len(res.boxes)):
+                c = int(res.boxes.cls[i])
+                name = str(res.names.get(c, c))
+                save_one_box(res.boxes.xyxy[i], res.orig_img,
+                             file=Path(self.save_dir) / "crops" / name /
+                             f"{stem}_{i}.jpg")
