@@ -53,28 +53,37 @@ def _head(t, h: int, hd: int):
     return jax.lax.slice_in_dim(t, h * hd, (h + 1) * hd, axis=2)
 
 
-def _bmm(x, wb):
+def _bmm(x, wb, mm=jnp.float32):
     """(BB, L, K) @ (BB, K, N) -> (BB, L, N). Weights arrive pre-broadcast
     over the window-block axis (Mosaic's tpu.matmul takes a single batch
     axis, and in-kernel rank/sublane broadcasts of small operands crash the
     CustomCallEmitter — `limits[i] <= dim(i)` — so the wrapper materializes
-    the tiny broadcasts in XLA instead)."""
+    the tiny broadcasts in XLA instead).
+
+    `mm` is the MXU operand dtype: when the block's IO dtype is bf16 the
+    wrapper passes bf16 so the systolic array runs at its bf16 rate (4x the
+    f32 rate) with f32 accumulation — the same contract the unfused flax
+    path had (LayerNorm casts back to bf16 before each Dense). f32 inputs
+    (CPU parity tests, f32 training) keep f32 operands bit-for-bit."""
     return jax.lax.dot_general(
-        x, wb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        x.astype(mm), wb.astype(mm),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
 
-def _bmm_t(x, wb):
+def _bmm_t(x, wb, mm=jnp.float32):
     """(BB, L, N) @ (BB, K, N) contracted on N -> (BB, L, K)."""
     return jax.lax.dot_general(
-        x, wb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        x.astype(mm), wb.astype(mm),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
 
-def _wgrad(x, dy):
+def _wgrad(x, dy, mm=jnp.float32):
     """sum_b x[b]^T dy[b]: (BB, L, K), (BB, L, N) -> (K, N)."""
     g = jax.lax.dot_general(
-        x, dy, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        x.astype(mm), dy.astype(mm),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)               # (BB, K, N)
     return g.sum(axis=0)
 
@@ -117,10 +126,11 @@ def _gelu_grad(x):
     return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
 
 
-def _attn_fwd(w, g1, be1, wqkv, bqkv, wo, bo, heads, scale):
-    """Attention half forward in f32. Returns (w1, residuals-for-bwd)."""
+def _attn_fwd(w, g1, be1, wqkv, bqkv, wo, bo, heads, scale, mm=jnp.float32):
+    """Attention half forward; LN/softmax in f32, MXU operands in `mm`.
+    Returns (w1, residuals-for-bwd)."""
     ln1, xh1, rstd1 = _ln_fwd(w, g1, be1)
-    qkv = _bmm(ln1, wqkv) + bqkv                          # (BB, L, 3C)
+    qkv = _bmm(ln1, wqkv, mm) + bqkv                      # (BB, L, 3C)
     C = w.shape[2]
     hd = C // heads
     outs, probs = [], []
@@ -130,29 +140,34 @@ def _attn_fwd(w, g1, be1, wqkv, bqkv, wo, bo, heads, scale):
         vh = jax.lax.slice_in_dim(qkv, 2 * C + h * hd, 2 * C + (h + 1) * hd,
                                   axis=2)
         s = jax.lax.dot_general(
-            qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            qh.astype(mm), kh.astype(mm),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale   # (BB, L, L)
         m = s.max(axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / p.sum(axis=-1, keepdims=True)
         probs.append(p)
         outs.append(jax.lax.dot_general(
-            p, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,)))))
+            p.astype(mm), vh.astype(mm),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
     attn = jnp.concatenate(outs, axis=2)                  # (BB, L, C)
-    w1 = w + _bmm(attn, wo) + bo
+    w1 = w + _bmm(attn, wo, mm) + bo
     return w1, (ln1, xh1, rstd1, qkv, probs, attn)
 
 
 def _blk_fwd_kernel(w_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref, wo_ref,
                     bo_ref, g2_ref, be2_ref, w1m_ref, b1m_ref, w2m_ref,
-                    b2m_ref, o_ref, *, heads: int, scale: float):
+                    b2m_ref, o_ref, *, heads: int, scale: float,
+                    mm=jnp.float32):
     w = w_ref[...].astype(jnp.float32)
     f32 = lambda r: r[...].astype(jnp.float32)  # noqa: E731
     w1, _ = _attn_fwd(w, f32(g1_ref), f32(be1_ref), f32(wqkv_ref),
-                      f32(bqkv_ref), f32(wo_ref), f32(bo_ref), heads, scale)
+                      f32(bqkv_ref), f32(wo_ref), f32(bo_ref), heads, scale,
+                      mm)
     ln2, _, _ = _ln_fwd(w1, f32(g2_ref), f32(be2_ref))
-    h1 = _bmm(ln2, f32(w1m_ref)) + f32(b1m_ref)
-    y = w1 + _bmm(_gelu(h1), f32(w2m_ref)) + f32(b2m_ref)
+    h1 = _bmm(ln2, f32(w1m_ref), mm) + f32(b1m_ref)
+    y = w1 + _bmm(_gelu(h1), f32(w2m_ref), mm) + f32(b2m_ref)
     o_ref[...] = y.astype(o_ref.dtype)
 
 
@@ -161,7 +176,7 @@ def _blk_bwd_kernel(w_ref, do_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref,
                     w2m_ref, b2m_ref,
                     dw_ref, dg1_ref, dbe1_ref, dwqkv_ref, dbqkv_ref, dwo_ref,
                     dbo_ref, dg2_ref, dbe2_ref, dw1m_ref, db1m_ref, dw2m_ref,
-                    db2m_ref, *, heads: int, scale: float):
+                    db2m_ref, *, heads: int, scale: float, mm=jnp.float32):
     grad_refs = (dg1_ref, dbe1_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
                  dg2_ref, dbe2_ref, dw1m_ref, db1m_ref, dw2m_ref, db2m_ref)
 
@@ -180,30 +195,31 @@ def _blk_bwd_kernel(w_ref, do_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref,
 
     # --- recompute forward residuals in VMEM -------------------------------
     w1, (ln1, xh1, rstd1, qkv, probs, attn) = _attn_fwd(
-        w, g1, be1, wqkv, bqkv, wo, bo, heads, scale)
+        w, g1, be1, wqkv, bqkv, wo, bo, heads, scale, mm)
     ln2, xh2, rstd2 = _ln_fwd(w1, g2, be2)
-    h1 = _bmm(ln2, w1m) + b1m
+    h1 = _bmm(ln2, w1m, mm) + b1m
     a1 = _gelu(h1)
 
     # --- MLP half backward --------------------------------------------------
     dm = do                                               # y = w1 + m
-    dw2m_ref[...] += _wgrad(a1, dm)
+    dw2m_ref[...] += _wgrad(a1, dm, mm)
     db2m_ref[...] += _bias_grad(dm)
-    dh1 = _bmm_t(dm, w2m) * _gelu_grad(h1)
-    dw1m_ref[...] += _wgrad(ln2, dh1)
+    dh1 = _bmm_t(dm, w2m, mm) * _gelu_grad(h1)
+    dw1m_ref[...] += _wgrad(ln2, dh1, mm)
     db1m_ref[...] += _bias_grad(dh1)
-    dln2 = _bmm_t(dh1, w1m)
+    dln2 = _bmm_t(dh1, w1m, mm)
     dw1_ln, dg2, dbe2 = _ln_bwd(dln2, xh2, rstd2, g2)
     dg2_ref[...] += dg2
     dbe2_ref[...] += dbe2
     dw1 = do + dw1_ln
 
     # --- attention half backward --------------------------------------------
-    dwo_ref[...] += _wgrad(attn, dw1)
+    dwo_ref[...] += _wgrad(attn, dw1, mm)
     dbo_ref[...] += _bias_grad(dw1)
-    dattn = _bmm_t(dw1, wo)                               # (BB, L, C)
+    dattn = _bmm_t(dw1, wo, mm)                           # (BB, L, C)
     C = w.shape[2]
     hd = C // heads
+    cast = lambda t: t.astype(mm)  # noqa: E731
     dqs, dks, dvs = [], [], []
     for h in range(heads):
         p = probs[h]
@@ -213,18 +229,26 @@ def _blk_bwd_kernel(w_ref, do_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref,
         qh = _head(qkv, h, hd)
         doh = _head(dattn, h, hd)
         dvs.append(jax.lax.dot_general(
-            p, doh, dimension_numbers=(((1,), (1,)), ((0,), (0,)))))
+            cast(p), cast(doh),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
         dp = jax.lax.dot_general(
-            doh, vh, dimension_numbers=(((2,), (2,)), ((0,), (0,))))
+            cast(doh), cast(vh),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
         ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
         dqs.append(jax.lax.dot_general(
-            ds, kh, dimension_numbers=(((2,), (1,)), ((0,), (0,)))) * scale)
+            cast(ds), cast(kh),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale)
         dks.append(jax.lax.dot_general(
-            ds, qh, dimension_numbers=(((1,), (1,)), ((0,), (0,)))) * scale)
+            cast(ds), cast(qh),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale)
     dqkv = jnp.concatenate(dqs + dks + dvs, axis=2)       # (BB, L, 3C)
-    dwqkv_ref[...] += _wgrad(ln1, dqkv)
+    dwqkv_ref[...] += _wgrad(ln1, dqkv, mm)
     dbqkv_ref[...] += _bias_grad(dqkv)
-    dln1 = _bmm_t(dqkv, wqkv)
+    dln1 = _bmm_t(dqkv, wqkv, mm)
     dw_ln, dg1, dbe1 = _ln_bwd(dln1, xh1, rstd1, g1)
     dg1_ref[...] += dg1
     dbe1_ref[...] += dbe1
@@ -305,8 +329,9 @@ def _swin_fwd(w, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m, w2m, b2m,
                                           be2, w1m, b1m, w2m, b2m)]
     wspec = pl.BlockSpec((bb, L, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
+    mm = jnp.bfloat16 if w.dtype == jnp.bfloat16 else jnp.float32
     out = pl.pallas_call(
-        functools.partial(_blk_fwd_kernel, heads=heads, scale=scale),
+        functools.partial(_blk_fwd_kernel, heads=heads, scale=scale, mm=mm),
         grid=((BW + pb) // bb,),
         in_specs=[wspec] + [_const_spec(p.shape) for p in params],
         out_specs=wspec,
@@ -331,8 +356,9 @@ def _swin_bwd(heads, block_b, interpret, res, do):
                          memory_space=pltpu.VMEM)
     grad_shapes = [jax.ShapeDtypeStruct(_grad_shape(p), jnp.float32)
                    for p in prims]
+    mm = jnp.bfloat16 if w.dtype == jnp.bfloat16 else jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_blk_bwd_kernel, heads=heads, scale=scale),
+        functools.partial(_blk_bwd_kernel, heads=heads, scale=scale, mm=mm),
         grid=((BW + pb) // bb,),
         in_specs=[wspec, wspec] + [_const_spec(p.shape) for p in params],
         out_specs=[wspec] + [_const_spec(_grad_shape(p)) for p in prims],
