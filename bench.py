@@ -4,11 +4,22 @@ Measures the full fused pipeline — bf16 forward through the MAFN backbone/neck
 P2-P5 Detect decode, and fixed-shape class-aware Cluster-NMS — as ONE jitted
 XLA graph at 640x640, the reference's VisDrone configuration (BASELINE.md).
 
-Reports the BASELINE.md north-star quantities in one JSON line:
+Reports the BASELINE.md north-star quantities as JSON lines. A FIRST partial
+line is printed as soon as throughput is measured (so a bounded-budget runner
+always gets a parsed metric even if the latency/trace stages are cut off);
+the FINAL line re-states it with the latency/MFU fields filled in. Consumers
+should take the LAST parseable line.
+
   value/img_per_sec — pipelined steady-state throughput (batch=16, dispatch
       N batches back-to-back, fetch the last result);
   p50_ms / p99_ms   — per-call BLOCKING end-to-end latency at batch=1
       (block_until_ready per call: what a serving client sees);
+  device_p50_ms     — trace-derived on-device latency (no tunnel RTT);
+  init_s/lower_s/compile_s — cold-start accounting for THIS process: model
+      param init, host-side trace+lowering, and XLA compile of the batch
+      graph. With a warm persistent cache (enabled library-wide, see
+      yolo_sod_tpu/__init__.py) compile_s collapses to cache-hit
+      deserialization;
   mfu               — model FLOPs utilization: img/s x FLOPs/img / chip peak.
       FLOPs/img comes from XLA's cost analysis of the compiled pipeline
       (falls back to the reference's published 41.5 GFLOPs, README.md:116);
@@ -23,18 +34,17 @@ img/s/chip + p50 + MFU is the deliverable (BASELINE.md:28-31).
 from __future__ import annotations
 
 import json
-import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent XLA compile cache: the flagship graph takes minutes to compile
-# cold under the axon tunnel; cache it across bench/profile invocations.
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Importing the package enables the persistent XLA compile cache under the
+# USER cache dir (~/.cache/yolo_sod_tpu) — shared across checkouts, so a
+# fresh clone only pays host-side trace time, not XLA compile time.
+import yolo_sod_tpu  # noqa: F401  (cache side effect)
 
 # bf16 peak FLOP/s per chip by device kind (public TPU specs).
 CHIP_PEAK_BF16 = {
@@ -96,14 +106,19 @@ def main(imgsz: int = 640, batch: int = 16, iters: int = 50,
     from yolo_sod_tpu.nn.tasks import DetectionModel
     from yolo_sod_tpu.ops.nms import non_max_suppression
 
+    t0 = time.perf_counter()
     model = DetectionModel("yolov12-sod-fusion-v5-simple.yaml")
-    model.init(imgsz=imgsz)
+    model.init()
+    init_s = time.perf_counter() - t0
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         model.variables)
 
-    def pipeline(x):
-        preds = model.predict(variables, x.astype(jnp.bfloat16))
+    # `v` is a jit ARGUMENT: closed-over device arrays lower as MLIR
+    # constants, each costing a device->host fetch at trace time
+    # (447 leaves x ~0.7 s tunnel RTT = 330 s cold at 640^2; VERDICT r3 #1).
+    def pipeline(v, x):
+        preds = model.predict(v, x.astype(jnp.bfloat16))
         return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.45,
                                    max_det=300, max_nms=1024)
 
@@ -111,30 +126,54 @@ def main(imgsz: int = 640, batch: int = 16, iters: int = 50,
     x = jnp.asarray(rng.random((batch, imgsz, imgsz, 3), np.float32))
     x1 = jnp.asarray(rng.random((1, imgsz, imgsz, 3), np.float32))
 
-    # Compile both shapes; keep the compiled throughput executable for its
-    # XLA cost analysis (FLOPs/img for the MFU line).
-    fn_b = jax.jit(pipeline).lower(x).compile()
-    fn_1 = jax.jit(pipeline).lower(x1).compile()
-    np.asarray(fn_b(x)[1])
-    np.asarray(fn_1(x1)[1])
+    # Compile the throughput graph first; keep it for its XLA cost analysis
+    # (FLOPs/img for the MFU line). Stage-timed for the cold-start record.
+    t0 = time.perf_counter()
+    lowered_b = jax.jit(pipeline).lower(variables, x)
+    lower_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fn_b = lowered_b.compile()
+    compile_s = time.perf_counter() - t0
+    np.asarray(fn_b(variables, x)[1])
 
     # Throughput: pipelined dispatch, fetch only the last result.
     t0 = time.perf_counter()
     for _ in range(iters):
-        det, n = fn_b(x)
+        det, n = fn_b(variables, x)
     np.asarray(n)
     dt = time.perf_counter() - t0
     imgs_per_sec = batch * iters / dt
 
+    flops_img = _flops_per_img(fn_b, batch)
+    peak, kind = _chip_peak()
+    record = {
+        "metric": "visdrone640_e2e_infer_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": None,
+        "mfu": round(imgs_per_sec * flops_img / peak, 4),
+        "flops_per_img_g": round(flops_img / 1e9, 2),
+        "chip": kind,
+        "batch": batch,
+        "init_s": round(init_s, 1),
+        "lower_s": round(lower_s, 1),
+        "compile_s": round(compile_s, 1),
+        "partial": True,
+        "note": ("PARTIAL line (throughput only) — emitted early so a "
+                 "timeout still yields a metric; take the LAST parseable "
+                 "line for the full record"),
+    }
+    print(json.dumps(record), flush=True)
+
     # Latency: blocking per-call at batch=1 (client-visible E2E).
+    fn_1 = jax.jit(pipeline).lower(variables, x1).compile()
+    np.asarray(fn_1(variables, x1)[1])
     lats = []
     for _ in range(lat_iters):
         t0 = time.perf_counter()
-        det, n = fn_1(x1)
+        det, n = fn_1(variables, x1)
         jax.block_until_ready(n)
         lats.append((time.perf_counter() - t0) * 1e3)
-    p50 = float(np.percentile(lats, 50))
-    p99 = float(np.percentile(lats, 99))
 
     # Device-side latency from a profiler trace (honest p50, no tunnel RTT).
     dev_p50 = dev_p99 = None
@@ -145,7 +184,7 @@ def main(imgsz: int = 640, batch: int = 16, iters: int = 50,
         trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
         jax.profiler.start_trace(trace_dir)
         for _ in range(lat_iters):
-            det, n = fn_1(x1)
+            det, n = fn_1(variables, x1)
         np.asarray(n)
         jax.profiler.stop_trace()
         times = _device_times_ms(trace_dir, lat_iters)
@@ -156,30 +195,22 @@ def main(imgsz: int = 640, batch: int = 16, iters: int = 50,
     except Exception:
         pass
 
-    flops_img = _flops_per_img(fn_b, batch)
-    peak, kind = _chip_peak()
-    mfu = imgs_per_sec * flops_img / peak
-
-    print(json.dumps({
-        "metric": "visdrone640_e2e_infer_imgs_per_sec_per_chip",
-        "value": round(imgs_per_sec, 2),
-        "unit": "img/s",
-        "vs_baseline": None,
-        "p50_ms": round(p50, 2),
-        "p99_ms": round(p99, 2),
+    record.update({
+        "p50_ms": round(float(np.percentile(lats, 50)), 2),
+        "p99_ms": round(float(np.percentile(lats, 99)), 2),
         "device_p50_ms": dev_p50,
         "device_p99_ms": dev_p99,
-        "mfu": round(mfu, 4),
-        "flops_per_img_g": round(flops_img / 1e9, 2),
-        "chip": kind,
-        "batch": batch,
+        "partial": False,
         "note": ("reference publishes no inference throughput/latency "
                  "(BASELINE.md); deliverable = img/s/chip + p50 + MFU at "
                  "mAP parity; p50_ms is client-blocking over the axon "
                  "tunnel (~30 ms RTT), device_p50_ms is the trace-derived "
-                 "on-device time"),
-    }))
+                 "on-device time; init_s/lower_s/compile_s are this "
+                 "process's cold-start costs"),
+    })
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
+    sys.stdout.reconfigure(line_buffering=True)
     main()

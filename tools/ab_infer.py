@@ -23,23 +23,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  str(Path(__file__).resolve().parents[1] / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compile cache: enabled library-wide under the user cache dir
+# (yolo_sod_tpu/__init__.py) — shared with bench.py and fresh checkouts.
+import yolo_sod_tpu  # noqa: F401  (cache side effect)
 import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, x, iters: int) -> float:
+def timed(fn, v, x, iters: int) -> float:
     # Fetch a VALUE, not block_until_ready: on the axon tunnel the latter can
     # return before dispatched work completes (PERF.md). Calls on one device
     # execute in dispatch order, so fetching the last call's output forces
     # the whole pipelined loop.
-    out = fn(x)
+    out = fn(v, x)
     _ = np.asarray(out[1])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(x)
+        out = fn(v, x)
     _ = np.asarray(out[1])
     return (time.perf_counter() - t0) / iters
 
@@ -57,7 +57,9 @@ def build(act_int8, imgsz, variables=None):
             model.variables)
     model.variables = variables
 
-    def full(x):
+    # variables is a jit ARGUMENT (closure constants cost a device->host
+    # fetch per leaf at trace time; see bench.py).
+    def full(variables, x):
         preds = model.predict(variables, x.astype(jnp.bfloat16))
         return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.45,
                                    max_det=300, max_nms=1024)
@@ -74,7 +76,7 @@ def main(imgsz: int = 640, batch: int = 16, iters: int = 30):
     for name, strides in (("baseline", ()), ("act_int8_p2", (4,))):
         fn, variables = build(strides, imgsz, variables)
         jfn = jax.jit(fn)
-        compiled = jfn.lower(x).compile()
+        compiled = jfn.lower(variables, x).compile()
         cost = {}
         try:
             c = compiled.cost_analysis()
@@ -83,7 +85,7 @@ def main(imgsz: int = 640, batch: int = 16, iters: int = 30):
                     "GB": c.get("bytes accessed", 0) / 1e9}
         except Exception:
             pass
-        dt = timed(compiled, x, iters)
+        dt = timed(compiled, variables, x, iters)
         results[name] = dt
         print(f"{name:>12}: {dt * 1e3:8.2f} ms/batch  {batch / dt:8.1f} img/s  "
               f"{cost.get('GF', 0):7.1f} GF  {cost.get('GB', 0):6.2f} GB",

@@ -131,9 +131,9 @@ def analyze(hlo_text: str, top: int = 15):
 
 def main(imgsz: int = 640, batch: int = 16):
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).resolve().parents[1] / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persistent compile cache: enabled library-wide under the user cache
+    # dir (yolo_sod_tpu/__init__.py) — shared with bench.py.
+    import yolo_sod_tpu  # noqa: F401  (cache side effect)
     import jax.numpy as jnp
     import numpy as np
 
@@ -145,12 +145,14 @@ def main(imgsz: int = 640, batch: int = 16):
         lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
         model.variables)
 
-    def fwd(x):
-        return model.apply(variables, x.astype(jnp.bfloat16), train=False)
+    # variables is a jit ARGUMENT (closure constants cost a device->host
+    # fetch per leaf at trace time; see bench.py).
+    def fwd(v, x):
+        return model.apply(v, x.astype(jnp.bfloat16), train=False)
 
     x = jnp.asarray(np.random.default_rng(0).random(
         (batch, imgsz, imgsz, 3), np.float32))
-    compiled = jax.jit(fwd).lower(x).compile()
+    compiled = jax.jit(fwd).lower(variables, x).compile()
     analyze(compiled.as_text())
 
 

@@ -22,9 +22,9 @@ from hlo_bytes import analyze  # noqa: E402  (tools/ sibling)
 
 def main(imgsz: int = 640, batch: int = 16, max_boxes: int = 64):
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).resolve().parents[1] / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persistent compile cache: enabled library-wide under the user cache
+    # dir (yolo_sod_tpu/__init__.py) — shared with bench.py.
+    import yolo_sod_tpu  # noqa: F401  (cache side effect)
     import jax.numpy as jnp
     import numpy as np
 

@@ -22,19 +22,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  str(Path(__file__).resolve().parents[1] / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compile cache: enabled library-wide under the user cache dir
+# (yolo_sod_tpu/__init__.py) — shared with bench.py and fresh checkouts.
+import yolo_sod_tpu  # noqa: F401  (cache side effect)
 import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, x, iters: int) -> float:
-    out = fn(x)
+def timed(fn, v, x, iters: int) -> float:
+    out = fn(v, x)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(x)
+        out = fn(v, x)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -50,15 +50,17 @@ def main(imgsz: int = 640, batch: int = 16, iters: int = 30):
         lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
         model.variables)
 
-    def fwd(x):
+    # variables is a jit ARGUMENT (closure constants cost a device->host
+    # fetch per leaf at trace time; see bench.py).
+    def fwd(variables, x):
         return model.apply(variables, x.astype(jnp.bfloat16), train=False)
 
-    def fwd_decode(x):
+    def fwd_decode(variables, x):
         feats = model.apply(variables, x.astype(jnp.bfloat16), train=False)
         return decode_detections(feats, model.graph.detect_strides, model.nc)
 
-    def full(x):
-        preds = fwd_decode(x)
+    def full(variables, x):
+        preds = fwd_decode(variables, x)
         return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.45,
                                    max_det=300, max_nms=1024)
 
@@ -69,8 +71,8 @@ def main(imgsz: int = 640, batch: int = 16, iters: int = 30):
     for name, fn in (("forward", fwd), ("forward+decode", fwd_decode),
                      ("full(+NMS)", full)):
         jfn = jax.jit(fn)
-        compiled = jfn.lower(x).compile()
-        dt = timed(compiled, x, iters)
+        compiled = jfn.lower(variables, x).compile()
+        dt = timed(compiled, variables, x, iters)
         cost = {}
         try:
             c = compiled.cost_analysis()

@@ -17,9 +17,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  str(Path(__file__).resolve().parents[1] / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compile cache: enabled library-wide under the user cache dir
+# (yolo_sod_tpu/__init__.py) — shared with bench.py and fresh checkouts.
+import yolo_sod_tpu  # noqa: F401  (cache side effect)
 
 import jax.numpy as jnp
 import numpy as np
@@ -40,18 +40,20 @@ def build(imgsz: int, batch: int, mode: str = "full"):
 
     # `fwd` mirrors tools/hlo_bytes.py exactly so the persistent compile
     # cache is shared between the bytes view and the time view.
-    def fwd(x):
-        return model.apply(variables, x.astype(jnp.bfloat16), train=False)
+    # variables is a jit ARGUMENT (closure constants cost a device->host
+    # fetch per leaf at trace time; see bench.py).
+    def fwd(v, x):
+        return model.apply(v, x.astype(jnp.bfloat16), train=False)
 
-    def full(x):
-        feats = fwd(x)
-        boxes, scores = decode_detections(feats, model.graph.detect_strides,
-                                          model.nc)
-        return non_max_suppression(boxes, scores)
+    def full(v, x):
+        feats = fwd(v, x)
+        preds = decode_detections(feats, model.graph.detect_strides, model.nc)
+        return non_max_suppression(preds)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, imgsz, imgsz, 3), np.float32))
-    return jax.jit(fwd if mode == "fwd" else full), x
+    fn = jax.jit(fwd if mode == "fwd" else full)
+    return (lambda x: fn(variables, x)), x
 
 
 def main(imgsz: int = 640, batch: int = 16, steps: int = 10,

@@ -21,9 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  str(Path(__file__).resolve().parents[1] / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compile cache: enabled library-wide under the user cache dir
+# (yolo_sod_tpu/__init__.py) — shared with bench.py and fresh checkouts.
+import yolo_sod_tpu  # noqa: F401  (cache side effect)
 
 import jax.numpy as jnp
 import numpy as np

@@ -50,6 +50,11 @@ class Exporter:
 
     def _pipeline_fn(self, model, variables):
         args = self.args
+        # Export intentionally EMBEDS the weights in the artifact (constants
+        # in the graph). Fetch them to host in ONE batched transfer first:
+        # closed-over device arrays would otherwise cost a device->host fetch
+        # per leaf at trace time (~0.7 s x 447 leaves over the axon tunnel).
+        variables = jax.device_get(variables)
 
         def fn(x):
             x = x.astype(jnp.bfloat16 if args.half else jnp.float32)

@@ -30,13 +30,15 @@ class ClassificationPredictor(DetectionPredictor):
     def _pipeline(self, batch: int, imgsz: int):
         key = (batch, imgsz)
         if key not in self._fns:
-            model, variables, args = self.model, self._variables, self.args
+            model, args = self.model, self.args
 
+            # variables is a jit ARGUMENT (closure constants cost a
+            # device->host fetch per leaf at trace time; see bench.py).
             @jax.jit
-            def fn(x):
+            def fn(variables, x):
                 x = x.astype(jnp.bfloat16 if args.half else jnp.float32) / 255.0
                 return model.predict(variables, x)          # (B, nc) softmax
-            self._fns[key] = fn
+            self._fns[key] = lambda x, _fn=fn: _fn(self._variables, x)
         return self._fns[key]
 
     def _flush(self, imgs, meta, batch_size):
@@ -49,11 +51,11 @@ class ClassificationPredictor(DetectionPredictor):
         probs = np.asarray(jax.device_get(fn(jnp.asarray(x))))
         t_inf = (time.perf_counter() - t0) / nb
         for i in range(nb):
-            path, im0, _, t_pre = meta[i]
+            path, im0, _, t_pre, src_meta = meta[i]
             res = Results(im0, path, self.model.names, probs=probs[i],
                           speed={"preprocess": t_pre * 1e3,
                                  "inference": t_inf * 1e3, "postprocess": 0.0})
-            yield self._emit(res, path, t_inf)
+            yield self._emit(res, path, t_inf, src_meta)
 
 
 class SegmentationPredictor(DetectionPredictor):
@@ -65,10 +67,10 @@ class SegmentationPredictor(DetectionPredictor):
     def _pipeline(self, batch: int, imgsz: int):
         key = (batch, imgsz)
         if key not in self._fns:
-            model, variables, args = self.model, self._variables, self.args
+            model, args = self.model, self.args
 
             @jax.jit
-            def fn(x):
+            def fn(variables, x):
                 x = x.astype(jnp.bfloat16 if args.half else jnp.float32) / 255.0
                 det_maps, coeff_maps, protos = model.net.apply(
                     variables, x, train=False)
@@ -98,7 +100,7 @@ class SegmentationPredictor(DetectionPredictor):
                           (gy >= bx[..., 1, None, None]) &
                           (gy < bx[..., 3, None, None]))
                 return det, n, (masks * inside) > 0.5
-            self._fns[key] = fn
+            self._fns[key] = lambda x, _fn=fn: _fn(self._variables, x)
         return self._fns[key]
 
     def _flush(self, imgs, meta, batch_size):
@@ -114,7 +116,7 @@ class SegmentationPredictor(DetectionPredictor):
         masks = np.asarray(jax.device_get(masks))
         t_inf = (time.perf_counter() - t0) / nb
         for i in range(nb):
-            path, im0, ratio_pad, t_pre = meta[i]
+            path, im0, ratio_pad, t_pre, src_meta = meta[i]
             t0 = time.perf_counter()
             nv = n_valid[i]
             d = det[i][:nv].copy()
@@ -125,7 +127,8 @@ class SegmentationPredictor(DetectionPredictor):
                         masks=masks[i][:nv],
                         speed={"preprocess": t_pre * 1e3,
                                "inference": t_inf * 1e3,
-                               "postprocess": t_post * 1e3}), path, t_inf)
+                               "postprocess": t_post * 1e3}), path, t_inf,
+                src_meta)
 
 
 class PosePredictor(DetectionPredictor):
@@ -134,11 +137,11 @@ class PosePredictor(DetectionPredictor):
     def _pipeline(self, batch: int, imgsz: int):
         key = (batch, imgsz)
         if key not in self._fns:
-            model, variables, args = self.model, self._variables, self.args
+            model, args = self.model, self.args
             K, D = model.kpt_shape
 
             @jax.jit
-            def fn(x):
+            def fn(variables, x):
                 from yolo_sod_tpu.ops.boxes import make_anchors
 
                 x = x.astype(jnp.bfloat16 if args.half else jnp.float32) / 255.0
@@ -162,7 +165,7 @@ class PosePredictor(DetectionPredictor):
                 dec = jnp.concatenate([xy, vis], -1)
                 safe = jnp.clip(kept, 0, dec.shape[1] - 1)
                 return det, n, jnp.take_along_axis(dec, safe[..., None, None], 1)
-            self._fns[key] = fn
+            self._fns[key] = lambda x, _fn=fn: _fn(self._variables, x)
         return self._fns[key]
 
     def _flush(self, imgs, meta, batch_size):
@@ -178,7 +181,7 @@ class PosePredictor(DetectionPredictor):
         kpts = np.asarray(jax.device_get(kpts))
         t_inf = (time.perf_counter() - t0) / nb
         for i in range(nb):
-            path, im0, ratio_pad, t_pre = meta[i]
+            path, im0, ratio_pad, t_pre, src_meta = meta[i]
             t0 = time.perf_counter()
             nv = n_valid[i]
             d = det[i][:nv].copy()
@@ -192,7 +195,8 @@ class PosePredictor(DetectionPredictor):
                 Results(im0, path, self.model.names, boxes=d, keypoints=k,
                         speed={"preprocess": t_pre * 1e3,
                                "inference": t_inf * 1e3,
-                               "postprocess": t_post * 1e3}), path, t_inf)
+                               "postprocess": t_post * 1e3}), path, t_inf,
+                src_meta)
 
 
 class OBBPredictor(DetectionPredictor):
@@ -207,10 +211,10 @@ class OBBPredictor(DetectionPredictor):
     def _pipeline(self, batch: int, imgsz: int):
         key = (batch, imgsz)
         if key not in self._fns:
-            model, variables, args = self.model, self._variables, self.args
+            model, args = self.model, self.args
 
             @jax.jit
-            def fn(x):
+            def fn(variables, x):
                 x = x.astype(jnp.bfloat16 if args.half else jnp.float32) / 255.0
                 det_maps, angle_maps = model.net.apply(variables, x, train=False)
                 preds = decode_obb(det_maps, angle_maps,
@@ -219,7 +223,7 @@ class OBBPredictor(DetectionPredictor):
                     preds, conf_thres=args.conf, iou_thres=args.iou,
                     agnostic=args.agnostic_nms, max_det=args.max_det,
                     classes=args.classes, max_nms=1024)
-            self._fns[key] = fn
+            self._fns[key] = lambda x, _fn=fn: _fn(self._variables, x)
         return self._fns[key]
 
     def _flush(self, imgs, meta, batch_size):
@@ -234,7 +238,7 @@ class OBBPredictor(DetectionPredictor):
         n_valid = np.asarray(jax.device_get(n_valid))
         t_inf = (time.perf_counter() - t0) / nb
         for i in range(nb):
-            path, im0, ratio_pad, t_pre = meta[i]
+            path, im0, ratio_pad, t_pre, src_meta = meta[i]
             t0 = time.perf_counter()
             nv = n_valid[i]
             rb = det[i][:nv].copy()           # [cx, cy, w, h, angle, conf, cls]
@@ -256,4 +260,5 @@ class OBBPredictor(DetectionPredictor):
                 Results(im0, path, self.model.names, boxes=d, obb=rb,
                         speed={"preprocess": t_pre * 1e3,
                                "inference": t_inf * 1e3,
-                               "postprocess": t_post * 1e3}), path, t_inf)
+                               "postprocess": t_post * 1e3}), path, t_inf,
+                src_meta)

@@ -479,20 +479,33 @@ class DetectionModel:
 
     # -- parameter lifecycle -------------------------------------------------
     def init(self, rng: Optional[jax.Array] = None, imgsz: int = 256):
-        """Initialize variables with a dummy NHWC batch (shape only matters for
-        trace; conv params are shape-dependent on channels alone)."""
+        """Initialize variables with a dummy NHWC batch.
+
+        Param shapes depend only on channel counts, never the spatial size
+        (pinned by tests/test_model_build.py's tree-equality check), so the
+        trace ALWAYS runs at the smallest stride-valid size (2x max stride —
+        64^2 for a P2-P5 model) regardless of the serving imgsz: init cost is
+        O(smallest graph), not O(serving resolution). The requested `imgsz`
+        is only a fallback for exotic graphs whose trace needs more pixels.
+        """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        # Image size must be divisible by the max stride.
         smax = int(self.stride.max())
-        imgsz = max(imgsz, smax * 2)
-        imgsz = int(math.ceil(imgsz / smax) * smax)
-        dummy = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
+        imgsz = int(math.ceil(max(imgsz, smax * 2) / smax) * smax)
         # Trace with train=True so train-only branches (v10Detect's one2many
         # towers) materialize their params at init.
         # jit the init trace: eager flax init dispatches every conv/norm op
         # one by one on the host (105 s for E1 on CPU; 14.5 s compiled).
-        self.variables = jax.jit(
-            lambda r: self.net.init(r, dummy, train=True))(rng)
+        # rng and dummy are jit ARGUMENTS: closure-captured device arrays
+        # lower as MLIR constants and cost a device->host fetch each.
+        initfn = jax.jit(lambda r, d: self.net.init(r, d, train=True))
+        for sz in dict.fromkeys((smax * 2, imgsz)):
+            dummy = jnp.zeros((1, sz, sz, self.ch), jnp.float32)
+            try:
+                self.variables = initfn(rng, dummy)
+                return self.variables
+            except Exception:
+                if sz == imgsz:
+                    raise
         return self.variables
 
     @property
@@ -707,10 +720,17 @@ class WorldModel(DetectionModel):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         smax = int(self.stride.max())
         imgsz = int(math.ceil(max(imgsz, smax * 2) / smax) * smax)
-        dummy = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
+        initfn = jax.jit(
+            lambda r, d, g: self.net.init(r, d, train=True, guide=g))
         guide = jnp.asarray(self.txt_feats)
-        self.variables = jax.jit(
-            lambda r: self.net.init(r, dummy, train=True, guide=guide))(rng)
+        for sz in dict.fromkeys((smax * 2, imgsz)):
+            dummy = jnp.zeros((1, sz, sz, self.ch), jnp.float32)
+            try:
+                self.variables = initfn(rng, dummy, guide)
+                return self.variables
+            except Exception:
+                if sz == imgsz:
+                    raise
         return self.variables
 
     def apply(self, variables, x, train: bool = False, active_mask=None,

@@ -24,11 +24,24 @@ implementations).
 
 from __future__ import annotations
 
+import enum
+
 import numpy as np
 
-from yolo_sod_tpu.trackers.basetrack import TrackState
 from yolo_sod_tpu.trackers.utils import matching
 from yolo_sod_tpu.trackers.utils.kalman_filter import KalmanFilterXYAH
+
+
+class TrackState(enum.IntEnum):
+    """Lifecycle of a TrackStore row: fresh detections enter as New, promote
+    to Tracked on association, demote to Lost when unmatched, and retire to
+    Removed after `track_buffer` frames (or on duplicate pruning). Stored as
+    the int `state` column of TrackStore."""
+
+    New = 0
+    Tracked = 1
+    Lost = 2
+    Removed = 3
 
 
 class TrackStore:
