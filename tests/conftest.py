@@ -24,6 +24,19 @@ try:
 except Exception:
     pass  # backend already initialized (e.g. re-entrant pytest); env vars apply
 
+# Persistent compile cache, CPU-backend scoped: full-model XLA CPU compiles
+# (train step ~3 min, 64^2 predict pipelines ~30 s) dominate suite wall time;
+# cache-hit deserialize is local and safe on CPU (the axon-tunnel hit-hang —
+# see yolo_sod_tpu/__init__.py — is a remote-compile artifact only).
+try:
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/yolo_sod_tpu/jax_cache_cpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -47,6 +60,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "smoke: fast core subset (<2 min on the 8-dev CPU mesh); "
                    "run with `pytest -m smoke`")
+    config.addinivalue_line(
+        "markers", "std: mid tier (~5 min warm-cache CPU) adding one e2e "
+                   "build/train/val/predict sweep per task on top of smoke; "
+                   "run with `pytest -m 'smoke or std'` for a bounded-budget "
+                   "gate (VERDICT r3 next-step #10)")
 
 
 # Modules with no full-model XLA compiles — the <2-min smoke gate
@@ -66,8 +84,22 @@ SMOKE_TESTS = {
 }
 
 
+# One end-to-end sweep per task family: model build matrix, detect
+# predict (incl. the video sink), detect train+resume, classification e2e,
+# and the training-dynamics parity run vs the torch reference.
+STD_MODULES = {
+    "test_model_build",
+    "test_predict",
+    "test_train",
+    "test_classify",
+    "test_train_parity",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
         if mod in SMOKE_MODULES or item.name.split("[")[0] in SMOKE_TESTS:
             item.add_marker(pytest.mark.smoke)
+        elif mod in STD_MODULES:
+            item.add_marker(pytest.mark.std)

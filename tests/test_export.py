@@ -144,3 +144,54 @@ def test_benchmark_format_val_sweep(model, tmp_path):
         assert "mAP50-95" in r and np.isfinite(r["mAP50-95"])
     # Same weights, same data -> the two backends must agree on mAP.
     assert abs(rows[0]["mAP50-95"] - rows[1]["mAP50-95"]) < 1e-3
+
+
+@tf_required
+def test_tflite_int8_calibrated_roundtrip(model, tmp_path):
+    """int8=True TFLite export: post-training quantization with a calibrated
+    representative dataset (reference engine/exporter.py:882), then a
+    round-trip accuracy check vs the native pipeline on synthetic data
+    (VERDICT r3 next-step #8)."""
+    import jax.numpy as jnp
+
+    from yolo_sod_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+    from yolo_sod_tpu.engine.exporter import Exporter
+    from yolo_sod_tpu.nn.autobackend import AutoBackend
+    from yolo_sod_tpu.ops.nms import non_max_suppression
+
+    os.chdir(tmp_path)
+    args = get_cfg(DEFAULT_CFG_DICT, {"imgsz": 64, "batch": 1, "half": False,
+                                      "conf": 0.001, "int8": True,
+                                      "mode": "export"})
+    path = Path(Exporter(args=args)(model=model.model, fmt="tflite")).resolve()
+    assert path.exists()
+    # Quantization actually happened: the int8 artifact is materially smaller
+    # than an unquantized export of the same graph.
+    args_f = get_cfg(DEFAULT_CFG_DICT, {"imgsz": 64, "batch": 1, "half": False,
+                                        "conf": 0.001, "mode": "export"})
+    f32_dir = tmp_path / "f32"
+    f32_dir.mkdir()
+    os.chdir(f32_dir)
+    path_f = Path(Exporter(args=args_f)(model=model.model,
+                                        fmt="tflite")).resolve()
+    os.chdir(tmp_path)
+    assert path != path_f
+    assert path.stat().st_size < 0.7 * path_f.stat().st_size
+
+    backend = AutoBackend(path, conf=0.001)
+    x = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+    det, n = backend.forward(x)
+
+    preds = model.model.predict(model.model.variables, jnp.asarray(x))
+    det_ref, n_ref = non_max_suppression(preds, conf_thres=0.001,
+                                         iou_thres=0.45, max_det=300)
+    det_ref, n_ref = np.asarray(det_ref), int(np.asarray(n_ref)[0])
+    # INT8 shifts scores slightly; candidate count may differ by a few and
+    # surviving scores/boxes must stay close for matching rows.
+    k = min(int(n[0]), n_ref)
+    assert abs(int(n[0]) - n_ref) <= max(3, n_ref // 3)
+    if k:
+        np.testing.assert_allclose(det[0, :k, 4], det_ref[0, :k, 4],
+                                   rtol=0.2, atol=0.05)
+        np.testing.assert_allclose(det[0, :k, :4], det_ref[0, :k, :4],
+                                   rtol=0.2, atol=3.0)

@@ -48,7 +48,7 @@ class Exporter:
     def __init__(self, args=None, _callbacks=None):
         self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
 
-    def _pipeline_fn(self, model, variables):
+    def _pipeline_fn(self, model, variables, with_nms: bool = True):
         args = self.args
         # Export intentionally EMBEDS the weights in the artifact (constants
         # in the graph). Fetch them to host in ONE batched transfer first:
@@ -59,11 +59,64 @@ class Exporter:
         def fn(x):
             x = x.astype(jnp.bfloat16 if args.half else jnp.float32)
             preds = model.predict(variables, x)
+            if not with_nms:
+                # Model-only artifact (reference TFLite exports ship the
+                # net without NMS; the consumer postprocesses): required for
+                # INT8 — the quantization calibrator executes the graph with
+                # the builtin kernel set and cannot run the flex NMS scan.
+                return preds.astype(jnp.float32)
             det, n = non_max_suppression(preds, conf_thres=args.conf or 0.25,
                                          iou_thres=args.iou, max_det=args.max_det)
             return det, n
 
         return fn
+
+    def _representative_dataset(self, batch: int, imgsz: int,
+                                n_calib: int = 32):
+        """Calibration-sample generator for INT8 post-training quantization
+        (reference exporter.py:882 builds one from the val dataloader).
+
+        Real val images from `args.data` when a dataset YAML is given
+        (letterboxed to the export shape, [0, 1] float — the pipeline's input
+        contract); deterministic synthetic frames otherwise so `int8=True`
+        never silently skips calibration.
+        """
+        import numpy as np
+
+        imgs = []
+        data = getattr(self.args, "data", None)
+        if data:
+            try:
+                from yolo_sod_tpu.data.augment import letterbox_np
+                from yolo_sod_tpu.data.dataset import YOLODataset
+                from yolo_sod_tpu.data.utils import check_det_dataset
+
+                spec = check_det_dataset(data)
+                ds = YOLODataset(spec["val"], imgsz=imgsz, augment=False)
+                for i in range(min(len(ds.im_files), n_calib)):
+                    import cv2
+
+                    im0 = cv2.imread(str(ds.im_files[i]))
+                    if im0 is None:
+                        continue
+                    im, _, _ = letterbox_np(im0, (imgsz, imgsz), scaleup=False)
+                    imgs.append(np.ascontiguousarray(
+                        im[..., ::-1]).astype(np.float32) / 255.0)
+            except Exception as e:
+                LOGGER.warning(f"int8 calibration: dataset '{data}' "
+                               f"unusable ({e}); falling back to synthetic")
+        if not imgs:
+            rng = np.random.default_rng(0)
+            imgs = [rng.random((imgsz, imgsz, 3)).astype(np.float32)
+                    for _ in range(n_calib)]
+        while len(imgs) % batch:
+            imgs.append(imgs[-1])     # pad to the fixed export batch shape
+
+        def gen():
+            for i in range(0, len(imgs), batch):
+                yield [np.stack(imgs[i:i + batch])]
+
+        return gen
 
     def __call__(self, model=None, fmt: str | None = None):
         args = self.args
@@ -111,7 +164,8 @@ class Exporter:
             except Exception as e:  # pragma: no cover
                 raise RuntimeError(f"tensorflow/jax2tf unavailable: {e}")
 
-            fn = self._pipeline_fn(model, variables)
+            int8 = fmt == "tflite" and bool(getattr(args, "int8", False))
+            fn = self._pipeline_fn(model, variables, with_nms=not int8)
             tf_fn = tf.function(
                 jax2tf.convert(fn, with_gradient=False),
                 input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3), tf.float32)],
@@ -127,6 +181,16 @@ class Exporter:
                     f"{out.with_suffix('')}_saved_model")
                 conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS,
                                                   tf.lite.OpsSet.SELECT_TF_OPS]
+                if int8:
+                    # Post-training INT8 with real calibration data (reference
+                    # engine/exporter.py:882: representative dataset from the
+                    # val dataloader). Weights + eligible activations
+                    # quantize int8 from observed ranges; graph regions the
+                    # TFLite int8 kernel set can't express (the NMS scan)
+                    # stay float via the SELECT_TF_OPS fallback.
+                    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+                    conv.representative_dataset = self._representative_dataset(
+                        batch, imgsz)
                 open(out, "wb").write(conv.convert())
 
         LOGGER.info(f"{colorstr('export:')} {fmt} -> {out} "

@@ -192,6 +192,7 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     def step_fn(state: TrainState, batch) -> tuple:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (items, new_bs)), grads = grad_fn(state.params, state.batch_stats, batch)
+        grad_norm = optax.global_norm(grads)
         step = state.step + 1
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -208,7 +209,8 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
         else:
             ema = ema_update(state.ema_params, params, step)
         return TrainState(params=params, batch_stats=new_bs, opt_state=opt_state,
-                          ema_params=ema, step=step), {"loss": loss, "items": items}
+                          ema_params=ema, step=step), \
+            {"loss": loss, "items": items, "grad_norm": grad_norm}
 
     # Sharding follows the data: place state replicated and the batch split
     # over 'data' (shard_state / mesh.shard_batch) and jit propagates — XLA

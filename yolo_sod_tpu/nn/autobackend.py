@@ -43,7 +43,7 @@ class AutoBackend:
             self._init_stablehlo()
             self.format = "stablehlo"
         elif suffix == ".tflite":
-            self._init_tflite()
+            self._init_tflite(conf, iou, max_det)
             self.format = "tflite"
         elif self.path.is_dir() or str(weights).endswith("_saved_model"):
             self._init_saved_model()
@@ -90,7 +90,7 @@ class AutoBackend:
         self._fn = lambda x: exp.call(x)
 
     # -- tflite ---------------------------------------------------------------
-    def _init_tflite(self):
+    def _init_tflite(self, conf=0.25, iou=0.45, max_det=300):
         import tensorflow as tf
 
         self._interp = tf.lite.Interpreter(model_path=str(self.path))
@@ -98,10 +98,24 @@ class AutoBackend:
         self._in = self._interp.get_input_details()
         self._out = self._interp.get_output_details()
 
+        # INT8 artifacts are model-only (forward+decode; the quantization
+        # calibrator cannot execute the flex NMS scan, so the exporter strips
+        # it — reference TFLite exports are likewise net-only). A single
+        # rank-3 output means "preds, NMS on us".
+        nms = None
+        if len(self._out) == 1 and len(self._out[0]["shape"]) == 3:
+            from yolo_sod_tpu.ops.nms import non_max_suppression
+
+            nms = jax.jit(lambda p: non_max_suppression(
+                p, conf_thres=conf, iou_thres=iou, max_det=max_det))
+
         def fn(x):
             self._interp.set_tensor(self._in[0]["index"], np.asarray(x, np.float32))
             self._interp.invoke()
             outs = [self._interp.get_tensor(o["index"]) for o in self._out]
+            if nms is not None:
+                det, n = nms(jnp.asarray(outs[0]))
+                return np.asarray(det), np.asarray(n)
             # (det, n): det is the rank-3 output, n the rank-1 counts —
             # interpreter output order is not contractual.
             outs.sort(key=lambda a: -a.ndim)

@@ -344,7 +344,6 @@ class Network(nn.Module):
     """
 
     graph: ParsedGraph
-    act_int8_strides: tuple = ()   # opt-in: int8-quantize boundary activations
 
     @nn.compact
     def __call__(self, x, train: bool = False, active_mask=None, guide=None,
@@ -393,10 +392,6 @@ class Network(nn.Module):
                     out = build_module(spec, f"model_{spec.i}_{r}")(out, train)
             else:
                 out = build_module(spec, f"model_{spec.i}")(inputs, train)
-            if (self.act_int8_strides and not train
-                    and spec.stride in self.act_int8_strides
-                    and isinstance(out, jax.Array) and out.ndim == 4):
-                out = _quant_dequant_int8(out)
             if spec.i in self.graph.save:
                 saved[spec.i] = out
             if embed and spec.i in embed:
@@ -407,23 +402,6 @@ class Network(nn.Module):
                     return jnp.concatenate(embeddings, axis=-1)
         return out
 
-
-def _quant_dequant_int8(x):
-    """Symmetric per-tensor int8 round-trip on a boundary activation.
-
-    The model is HBM-bound (89% of the v5e roofline at bf16, PERF.md); the
-    big stride-4 P2 activation maps are where the bytes are, and the int8
-    boundary halves them: XLA fuses the quantize into the producer's epilogue
-    and the dequantize into each consumer, so the tensor that actually
-    crosses the HBM fusion boundary is the int8 one. Opt-in via
-    DetectionModel(..., act_int8_strides=(4,)) / YOLO_SOD_ACT_INT8=1 —
-    accuracy is guarded by tests/test_act_int8.py's loss-parity tolerance.
-    """
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = jnp.maximum(amax, 1e-6) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    q = q.astype(jnp.int8)
-    return (q.astype(jnp.float32) * scale).astype(x.dtype)
 
 
 MODEL_CFG_DIRS = (ROOT / "cfg" / "models", Path.cwd())
@@ -459,18 +437,19 @@ class DetectionModel:
     """
 
     def __init__(self, cfg="yolov12-sod-fusion-v5-simple.yaml", ch: int = 3,
-                 nc: Optional[int] = None, verbose: bool = False,
-                 act_int8_strides: Optional[tuple] = None):
+                 nc: Optional[int] = None, verbose: bool = False):
         self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
         if nc and nc != self.yaml.get("nc"):
             LOGGER.info(f"overriding model.yaml nc={self.yaml.get('nc')} with nc={nc}")
             self.yaml["nc"] = nc
         self.graph = parse_model(self.yaml, ch=ch, verbose=verbose)
         self.nc = self.graph.nc
-        if act_int8_strides is None and os.environ.get("YOLO_SOD_ACT_INT8") == "1":
-            act_int8_strides = (4,)   # the P2 level: where the bytes are
-        self.net = Network(self.graph,
-                           act_int8_strides=tuple(act_int8_strides or ()))
+        # (The r2/r3 opt-in int8 activation boundary at P2 was removed after
+        # an end-to-end A/B measured it as a 0.96x REGRESSION: the
+        # quant/dequant pair ADDED 0.8 GB/batch of traffic instead of
+        # halving the boundary tensor — XLA materialized both the int8 copy
+        # and the f32 operands around it. PERF.md round-4 A/B table.)
+        self.net = Network(self.graph)
         self.stride = np.array(self.graph.detect_strides or (8, 16, 32))
         self.names = {i: f"{i}" for i in range(self.nc)}
         self.ch = ch
