@@ -199,3 +199,32 @@ def test_head_counts(heads):
     want = swin_window_block_ref(w, *[p[k] for k in ORDER], heads)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_gradients_close_to_f32_reference():
+    """The backward kernel runs its weight-grad matmuls at bf16 MXU rate when
+    inputs are bf16 (ops/pallas_swin_block.py); pin the bf16 gradient path
+    against the f32 reference gradients with a bf16-grade tolerance
+    (ADVICE r3: the bf16 grad path was untested)."""
+    key = jax.random.PRNGKey(10)
+    w32 = jax.random.normal(jax.random.PRNGKey(11), (BW, L, C), jnp.float32)
+    p32 = _params(key)
+    w16 = w32.astype(jnp.bfloat16)
+    p16 = {k: v.astype(jnp.bfloat16) for k, v in p32.items()}
+
+    def loss_k16(w, p):
+        return jnp.sum(jnp.sin(_run_kernel(w, p, block_b=8).astype(jnp.float32)))
+
+    def loss_r32(w, p):
+        return jnp.sum(jnp.sin(_run_ref(w, p)))
+
+    gk_w, gk_p = jax.grad(loss_k16, argnums=(0, 1))(w16, p16)
+    gr_w, gr_p = jax.grad(loss_r32, argnums=(0, 1))(w32, p32)
+    assert gk_w.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(gk_w, np.float32),
+                               np.asarray(gr_w), rtol=0.1, atol=0.15)
+    for k in ORDER:
+        g, r = np.asarray(gk_p[k], np.float32), np.asarray(gr_p[k])
+        scale = max(float(np.abs(r).max()), 1.0)
+        np.testing.assert_allclose(g / scale, r / scale, rtol=0.1, atol=0.05,
+                                   err_msg=f"bf16 param grad mismatch: {k}")

@@ -30,12 +30,21 @@ import numpy as np
 
 
 def timed(fn, v, x, iters: int) -> float:
-    out = fn(v, x)
-    jax.block_until_ready(out)
+    # Fetch a VALUE, not block_until_ready: on the axon tunnel the latter can
+    # return before dispatched work completes. Calls on one device execute in
+    # dispatch order, so fetching the last call's output forces the loop.
+    def force(out):
+        # Scalar element fetch: forces the producer chain without paying a
+        # multi-MB tunnel transfer of the whole output (which would dominate
+        # the measurement for the decode stage's (B, A, 4+nc) tensor).
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+        _ = np.asarray(leaf[(0,) * leaf.ndim])
+
+    force(fn(v, x))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(v, x)
-    jax.block_until_ready(out)
+    force(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -442,17 +442,19 @@ def _strip_mask(H: int, W: int, win: int, Wb: int, nH: int, nWB: int):
 def _sp_fwd_kernel(x_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref, wo_ref,
                    bo_ref, g2_ref, be2_ref, w1m_ref, b1m_ref, w2m_ref,
                    b2m_ref, o_ref, *, heads: int, scale: float, H: int,
-                   W: int, win: int, gw: int, nH: int, nWB: int):
+                   W: int, win: int, gw: int, nH: int, nWB: int,
+                   mm=jnp.float32):
     Wb = gw * win
     mask = _strip_mask(H, W, win, Wb, nH, nWB)
     strip = jnp.where(mask, x_ref[0].astype(jnp.float32), 0.0)
     w = _strip_to_windows(strip, win, gw)
     f32 = lambda r: r[...].astype(jnp.float32)  # noqa: E731
     w1, _ = _attn_fwd(w, f32(g1_ref), f32(be1_ref), f32(wqkv_ref),
-                      f32(bqkv_ref), f32(wo_ref), f32(bo_ref), heads, scale)
+                      f32(bqkv_ref), f32(wo_ref), f32(bo_ref), heads, scale,
+                      mm)
     ln2, _, _ = _ln_fwd(w1, f32(g2_ref), f32(be2_ref))
-    h1 = _bmm(ln2, f32(w1m_ref)) + f32(b1m_ref)
-    y = w1 + _bmm(_gelu(h1), f32(w2m_ref)) + f32(b2m_ref)
+    h1 = _bmm(ln2, f32(w1m_ref), mm) + f32(b1m_ref)
+    y = w1 + _bmm(_gelu(h1), f32(w2m_ref), mm) + f32(b2m_ref)
     o_ref[0] = _windows_to_strip(y, win, gw).astype(o_ref.dtype)
 
 
@@ -462,7 +464,7 @@ def _sp_bwd_kernel(x_ref, do_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref,
                    dx_ref, dg1_ref, dbe1_ref, dwqkv_ref, dbqkv_ref, dwo_ref,
                    dbo_ref, dg2_ref, dbe2_ref, dw1m_ref, db1m_ref, dw2m_ref,
                    db2m_ref, *, heads: int, scale: float, H: int, W: int,
-                   win: int, gw: int, nH: int, nWB: int):
+                   win: int, gw: int, nH: int, nWB: int, mm=jnp.float32):
     grad_refs = (dg1_ref, dbe1_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
                  dg2_ref, dbe2_ref, dw1m_ref, db1m_ref, dw2m_ref, db2m_ref)
 
@@ -485,28 +487,28 @@ def _sp_bwd_kernel(x_ref, do_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref,
 
     # recompute forward residuals in VMEM
     w1, (ln1, xh1, rstd1, qkv, probs, attn) = _attn_fwd(
-        w, g1, be1, wqkv, bqkv, wo, bo, heads, scale)
+        w, g1, be1, wqkv, bqkv, wo, bo, heads, scale, mm)
     ln2, xh2, rstd2 = _ln_fwd(w1, g2, be2)
-    h1 = _bmm(ln2, w1m) + b1m
+    h1 = _bmm(ln2, w1m, mm) + b1m
     a1 = _gelu(h1)
 
     # MLP half backward
     dm = do
-    dw2m_ref[...] += _wgrad(a1, dm)
+    dw2m_ref[...] += _wgrad(a1, dm, mm)
     db2m_ref[...] += _bias_grad(dm)
-    dh1 = _bmm_t(dm, w2m) * _gelu_grad(h1)
-    dw1m_ref[...] += _wgrad(ln2, dh1)
+    dh1 = _bmm_t(dm, w2m, mm) * _gelu_grad(h1)
+    dw1m_ref[...] += _wgrad(ln2, dh1, mm)
     db1m_ref[...] += _bias_grad(dh1)
-    dln2 = _bmm_t(dh1, w1m)
+    dln2 = _bmm_t(dh1, w1m, mm)
     dw1_ln, dg2, dbe2 = _ln_bwd(dln2, xh2, rstd2, g2)
     dg2_ref[...] += dg2
     dbe2_ref[...] += dbe2
     dw1 = do + dw1_ln
 
     # attention half backward
-    dwo_ref[...] += _wgrad(attn, dw1)
+    dwo_ref[...] += _wgrad(attn, dw1, mm)
     dbo_ref[...] += _bias_grad(dw1)
-    dattn = _bmm_t(dw1, wo)
+    dattn = _bmm_t(dw1, wo, mm)
     C = w.shape[2]
     hd = C // heads
     dqs, dks, dvs = [], [], []
@@ -527,9 +529,9 @@ def _sp_bwd_kernel(x_ref, do_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref,
         dks.append(jax.lax.dot_general(
             ds, qh, dimension_numbers=(((1,), (1,)), ((0,), (0,)))) * scale)
     dqkv = jnp.concatenate(dqs + dks + dvs, axis=2)
-    dwqkv_ref[...] += _wgrad(ln1, dqkv)
+    dwqkv_ref[...] += _wgrad(ln1, dqkv, mm)
     dbqkv_ref[...] += _bias_grad(dqkv)
-    dln1 = _bmm_t(dqkv, wqkv)
+    dln1 = _bmm_t(dqkv, wqkv, mm)
     dw_ln, dg1, dbe1 = _ln_bwd(dln1, xh1, rstd1, g1)
     dg1_ref[...] += dg1
     dbe1_ref[...] += dbe1
@@ -598,9 +600,13 @@ def _sp_fwd(x, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m, w2m, b2m,
     prims = (g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1m, b1m, w2m, b2m)
     params = [_expand(p, gw, win * win) for p in prims]
     xspec, pspecs = _sp_specs(B, H, W, C, win, gw, nH, nWB, params, x.dtype)
+    # Same MXU-operand-precision selection as the windowed kernels: bf16 IO
+    # runs the matmuls at the bf16 systolic rate (ADVICE r3: A/B timings vs
+    # the default path must compare layout strategies, not matmul rates).
+    mm = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     out = pl.pallas_call(
         functools.partial(_sp_fwd_kernel, heads=heads, scale=scale, H=H,
-                          W=W, win=win, gw=gw, nH=nH, nWB=nWB),
+                          W=W, win=win, gw=gw, nH=nH, nWB=nWB, mm=mm),
         grid=(B * nH * nWB,),
         in_specs=[xspec] + pspecs,
         out_specs=xspec,
@@ -621,9 +627,10 @@ def _sp_bwd(heads, win, block_windows, interpret, res, do):
     xspec, pspecs = _sp_specs(B, H, W, C, win, gw, nH, nWB, params, x.dtype)
     grad_shapes = [jax.ShapeDtypeStruct(_grad_shape(p), jnp.float32)
                    for p in prims]
+    mm = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     outs = pl.pallas_call(
         functools.partial(_sp_bwd_kernel, heads=heads, scale=scale, H=H,
-                          W=W, win=win, gw=gw, nH=nH, nWB=nWB),
+                          W=W, win=win, gw=gw, nH=nH, nWB=nWB, mm=mm),
         grid=(B * nH * nWB,),
         in_specs=[xspec, xspec] + pspecs,
         out_specs=[xspec] + [_const_spec(_grad_shape(p)) for p in prims],
