@@ -90,3 +90,62 @@ def test_validator_pred_to_json(tmp_path):
     assert v.jdict[0]["bbox"] == [10.0, 10.0, 20.0, 30.0]
     p = v.save_json_file()
     assert Path(p).exists()
+
+
+class TestChecks:
+    """utils/checks.py (reference utils/checks.py behaviors)."""
+
+    def test_check_imgsz_rounds_to_stride(self):
+        from yolo_sod_tpu.utils.checks import check_imgsz
+
+        assert check_imgsz(640, stride=32) == 640
+        assert check_imgsz(100, stride=32) == 128
+        assert check_imgsz([100, 60], stride=32) == [128, 64]
+        assert check_imgsz(640, stride=32, min_dim=2) == [640, 640]
+
+    def test_check_version_constraints(self):
+        from yolo_sod_tpu.utils.checks import check_version
+
+        assert check_version("1.2.3", ">=1.0.0")
+        assert not check_version("1.2.3", ">=2.0.0")
+        assert check_version("1.2.3", ">1.2.2,<2.0.0")
+        assert check_version("1.2.3", "==1.2.3")
+        import pytest as _pytest
+
+        with _pytest.raises(ModuleNotFoundError):
+            check_version("1.0.0", ">=9.0.0", hard=True)
+
+    def test_check_suffix_and_file(self, tmp_path):
+        import pytest as _pytest
+
+        from yolo_sod_tpu.utils.checks import check_file, check_suffix
+
+        check_suffix("a.ckpt", (".ckpt",))
+        with _pytest.raises(ValueError):
+            check_suffix("a.onnx", (".ckpt",))
+        p = tmp_path / "x.yaml"
+        p.write_text("a: 1")
+        assert check_file(str(p)) == str(p)
+        # recursive search under the package tree finds bundled configs
+        found = check_file("default.yaml")
+        assert found and found.endswith("default.yaml")
+        assert check_file("definitely_missing_zz.yaml", hard=False) is None
+        with _pytest.raises(FileNotFoundError):
+            check_file("definitely_missing_zz.yaml")
+
+    def test_path_safety(self, tmp_path):
+        from yolo_sod_tpu.utils.checks import check_is_path_safe
+
+        assert check_is_path_safe(tmp_path, tmp_path / "a" / "b")
+        assert not check_is_path_safe(tmp_path, tmp_path / ".." / "evil")
+
+    def test_env_probes(self):
+        from yolo_sod_tpu.utils.checks import (check_jax, check_python,
+                                               check_yolo,
+                                               collect_system_info)
+
+        assert check_python("3.8.0")
+        info = collect_system_info()
+        assert info["jax"] and info["python"]
+        assert "yolo-sod-tpu" in check_yolo(verbose=False)
+        check_jax(minimum="0.4.0")

@@ -154,24 +154,12 @@ def handle_settings(args: list[str]) -> None:
 def handle_checks(args: list[str]) -> None:
     """`yolo-sod checks`: environment summary (reference `yolo checks` →
     checks.collect_system_info)."""
-    import platform
+    from yolo_sod_tpu.utils.checks import check_jax, collect_system_info
 
-    import jax
-
-    from yolo_sod_tpu import __version__
-
-    try:
-        devices = jax.devices()
-        dev = f"{len(devices)}x {devices[0].device_kind} ({devices[0].platform})"
-    except Exception as e:  # no backend reachable — still print the rest
-        dev = f"unavailable ({e})"
-    LOGGER.info(
-        f"yolo-sod-tpu {__version__}\n"
-        f"python       {platform.python_version()} on {platform.platform()}\n"
-        f"jax          {jax.__version__}\n"
-        f"devices      {dev}\n"
-        f"default cfg  {DEFAULT_CFG_PATH}"
-    )
+    info = collect_system_info()
+    check_jax()
+    lines = [f"{k:<12} {v}" for k, v in info.items()]
+    LOGGER.info("\n".join(lines + [f"{'default cfg':<12} {DEFAULT_CFG_PATH}"]))
 
 
 def handle_cfg(args: list[str]) -> None:

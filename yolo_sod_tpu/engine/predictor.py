@@ -174,8 +174,14 @@ class DetectionPredictor:
 
     def stream_inference(self, source):
         """Generator over Results (reference stream_inference :219-304)."""
+        from yolo_sod_tpu.utils.checks import check_imgsz
+
         args = self.args
-        imgsz = int(args.imgsz or 640)
+        # Stride-round the serving size (reference check_imgsz doctrine): a
+        # non-multiple imgsz would give the P5 head a fractional-stride map.
+        imgsz = check_imgsz(int(args.imgsz or 640),
+                            stride=int(self.model.stride.max())
+                            if self.model is not None else 32)
         batch_size = max(int(getattr(args, "batch", 1) or 1), 1)
 
         # Resolve the output dir fresh per inference run: each run gets its

@@ -63,3 +63,123 @@ def check_yaml(file, suffix=(".yaml", ".yml")):
 def check_requirements(*args, **kwargs) -> bool:
     """No-op: this image is hermetic — nothing may be pip-installed."""
     return True
+
+
+def check_suffix(file, suffix=(".ckpt", ".msgpack"), msg: str = ""):
+    """Assert file suffix(es) (reference check_suffix). Accepts a str or a
+    list of files; empty suffix disables the check."""
+    if not (file and suffix):
+        return
+    if isinstance(suffix, str):
+        suffix = (suffix,)
+    for f in file if isinstance(file, (list, tuple)) else [file]:
+        s = Path(str(f)).suffix.lower().strip()
+        if s and s not in suffix:
+            raise ValueError(f"{msg}{f} acceptable suffix is {suffix}, not {s}")
+
+
+def check_python(minimum: str = "3.10.0", hard: bool = True) -> bool:
+    """Current interpreter meets the minimum (reference check_python)."""
+    import platform
+
+    return check_version(platform.python_version(), f">={minimum}",
+                         name="Python", hard=hard)
+
+
+def check_file(file, suffix="", hard: bool = True):
+    """Resolve a local file: exact path first, then a recursive search under
+    the package tree (reference check_file minus the URL-download leg —
+    remote assets route through utils/downloads.safe_download explicitly)."""
+    from yolo_sod_tpu.utils import ROOT
+
+    if suffix:
+        check_suffix(file, suffix)
+    file = str(file).strip()
+    if not file or Path(file).exists():
+        return file
+    matches = sorted(ROOT.rglob(Path(file).name))
+    if not matches:
+        if hard:
+            raise FileNotFoundError(f"'{file}' does not exist")
+        return None
+    return str(matches[0])
+
+
+def check_is_path_safe(basedir, path) -> bool:
+    """True iff `path` resolves inside `basedir` — no traversal/symlink
+    escape (reference check_is_path_safe; guards archive extraction)."""
+    base, target = Path(basedir).resolve(), Path(path).resolve()
+    return target.parts[: len(base.parts)] == base.parts
+
+
+def check_jax(minimum: str = "0.4.30", hard: bool = False) -> bool:
+    """The platform probe this framework actually needs (the reference's
+    check_torchvision compat matrix + check_amp have no TPU analog: bf16 is
+    native with f32 MXU accumulation). Verifies the jax/jaxlib pair is
+    recent enough for the APIs we rely on (Pallas TPU lowering, NamedSharding
+    trees, persistent compile cache) and warns when no accelerator backend
+    is attached."""
+    import jax
+
+    ok = check_version(jax.__version__, f">={minimum}", name="jax", hard=hard)
+    try:
+        platform = jax.devices()[0].platform
+        if platform not in ("tpu", "axon", "gpu"):
+            LOGGER.warning(
+                f"jax backend is '{platform}' — TPU not attached; compute "
+                "will run on CPU (fine for tests, wrong for serving)")
+    except Exception as e:
+        LOGGER.warning(f"jax backend probe failed: {e}")
+        ok = False
+    return ok
+
+
+def collect_system_info() -> dict:
+    """Environment summary (reference collect_system_info, TPU-flavored):
+    interpreter, key library versions, device inventory with memory."""
+    import platform
+
+    import jax
+
+    info = {
+        "python": platform.python_version(),
+        "platform": platform.platform(),
+        "jax": jax.__version__,
+    }
+    for mod in ("flax", "optax", "numpy"):
+        try:
+            info[mod] = __import__(mod).__version__
+        except Exception:
+            info[mod] = None
+    try:
+        devs = jax.devices()
+        info["devices"] = [d.device_kind for d in devs]
+        stats = getattr(devs[0], "memory_stats", lambda: None)()
+        if stats and "bytes_limit" in stats:
+            info["hbm_gb"] = round(stats["bytes_limit"] / 2**30, 1)
+    except Exception:
+        info["devices"] = []
+    return info
+
+
+def check_yolo(verbose: bool = True) -> str:
+    """One-line environment banner (reference check_yolo / yolo checks)."""
+    import yolo_sod_tpu
+
+    info = collect_system_info()
+    devs = ", ".join(info.get("devices") or ["cpu-only"])
+    s = (f"yolo-sod-tpu {yolo_sod_tpu.__version__} "
+         f"Python-{info['python']} jax-{info['jax']} ({devs})")
+    if verbose:
+        LOGGER.info(s)
+    return s
+
+
+def print_args(args: dict | None = None):
+    """Log a {k: v} namespace compactly (reference print_args)."""
+    from yolo_sod_tpu.utils import colorstr
+
+    if not args:
+        return
+    s = ", ".join(f"{k}={v}" for k, v in sorted(dict(args).items()))
+    LOGGER.info(f"{colorstr('args:')} {s}")
