@@ -54,7 +54,9 @@ def _enable_persistent_compile_cache():
             return  # explicitly disabled
         if cache is None and (
                 _os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
-                or "axon" in _os.environ.get("JAX_PLATFORMS", "")):
+                or _os.environ.get("PALLAS_AXON_POOL_IPS")
+                or "axon" in _os.environ.get("JAX_PLATFORMS", "")
+                or _os.path.exists("/opt/axon/libaxon_pjrt.so")):
             # Axon remote-compile tunnel: compilation happens TERMINAL-side,
             # and executing a client-side cache-deserialized executable hangs
             # forever (the server never compiled it this session — verified

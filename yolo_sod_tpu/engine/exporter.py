@@ -172,26 +172,39 @@ class Exporter:
                 autograph=False)
             module = tf.Module()
             module.f = tf_fn
-            tf.saved_model.save(module, str(out if fmt == "saved_model"
-                                            else out.with_suffix("")) if fmt == "saved_model"
-                                else f"{out.with_suffix('')}_saved_model",
-                                signatures=tf_fn)
-            if fmt == "tflite":
-                conv = tf.lite.TFLiteConverter.from_saved_model(
-                    f"{out.with_suffix('')}_saved_model")
-                conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS,
-                                                  tf.lite.OpsSet.SELECT_TF_OPS]
-                if int8:
-                    # Post-training INT8 with real calibration data (reference
-                    # engine/exporter.py:882: representative dataset from the
-                    # val dataloader). Weights + eligible activations
-                    # quantize int8 from observed ranges; graph regions the
-                    # TFLite int8 kernel set can't express (the NMS scan)
-                    # stay float via the SELECT_TF_OPS fallback.
-                    conv.optimizations = [tf.lite.Optimize.DEFAULT]
-                    conv.representative_dataset = self._representative_dataset(
-                        batch, imgsz)
-                open(out, "wb").write(conv.convert())
+            if fmt == "saved_model":
+                tf.saved_model.save(module, str(out.with_suffix("")),
+                                    signatures=tf_fn)
+            else:
+                # The TFLite conversion's saved_model is an INTERMEDIATE —
+                # write it to a temp dir, never next to the artifacts: the
+                # int8 variant is an NMS-less graph, and dropping it onto a
+                # sibling `<stem>_saved_model` would silently overwrite a
+                # real fmt=saved_model export with different semantics.
+                import shutil
+                import tempfile
+
+                sm_dir = tempfile.mkdtemp(prefix="yolo_sod_tflite_sm_")
+                try:
+                    tf.saved_model.save(module, sm_dir, signatures=tf_fn)
+                    conv = tf.lite.TFLiteConverter.from_saved_model(sm_dir)
+                    conv.target_spec.supported_ops = [
+                        tf.lite.OpsSet.TFLITE_BUILTINS,
+                        tf.lite.OpsSet.SELECT_TF_OPS]
+                    if int8:
+                        # Post-training INT8 with real calibration data
+                        # (reference engine/exporter.py:882: representative
+                        # dataset from the val dataloader). Weights +
+                        # eligible activations quantize int8 from observed
+                        # ranges; graph regions the TFLite int8 kernel set
+                        # can't express (the NMS scan) stay float via the
+                        # SELECT_TF_OPS fallback.
+                        conv.optimizations = [tf.lite.Optimize.DEFAULT]
+                        conv.representative_dataset = \
+                            self._representative_dataset(batch, imgsz)
+                    open(out, "wb").write(conv.convert())
+                finally:
+                    shutil.rmtree(sm_dir, ignore_errors=True)
 
         LOGGER.info(f"{colorstr('export:')} {fmt} -> {out} "
                     f"({time.time() - t0:.1f}s)")

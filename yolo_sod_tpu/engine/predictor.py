@@ -211,7 +211,8 @@ class DetectionPredictor:
                     yield from self._flush(buf_imgs, buf_meta, batch_size)
             finally:
                 for w in self._writers.values():
-                    w.release()
+                    if w is not None:
+                        w.release()
                 self._writers = {}
 
     def _flush(self, imgs, meta, batch_size):
@@ -267,8 +268,10 @@ class DetectionPredictor:
             out.mkdir(parents=True, exist_ok=True)
             vid = src_meta["video"]
             frame = res.plot()
-            w = getattr(self, "_writers", {}).get(vid)
-            if w is None:
+            if not hasattr(self, "_writers"):
+                self._writers = {}
+            w = self._writers.get(vid)
+            if w is None and vid not in self._writers:
                 h_, w_ = frame.shape[:2]
                 fps = max(src_meta.get("fps", 30.0)
                           / max(int(args.vid_stride or 1), 1), 1.0)
@@ -276,10 +279,21 @@ class DetectionPredictor:
                 w = cv2.VideoWriter(str(dst),
                                     cv2.VideoWriter_fourcc(*"mp4v"),
                                     fps, (w_, h_))
-                if not hasattr(self, "_writers"):
-                    self._writers = {}
+                if not w.isOpened():
+                    # Codec/dims rejected: cv2 returns a writer that silently
+                    # drops every frame. Fall back to per-frame stills so
+                    # save=True never produces nothing.
+                    LOGGER.warning(
+                        f"VideoWriter failed to open {dst} (mp4v {w_}x{h_} "
+                        f"@{fps:.1f}fps); saving frames as stills instead")
+                    w.release()
+                    w = None   # stays in the dict: don't retry per frame
                 self._writers[vid] = w
-            w.write(frame)
+            if w is not None:
+                w.write(frame)
+            else:
+                fstem = f"{Path(vid).stem}_frame{src_meta.get('frame', 0)}"
+                cv2.imwrite(str(out / f"{fstem}.jpg"), frame)
             if getattr(args, "save_frames", False):
                 fstem = f"{Path(vid).stem}_frame{src_meta.get('frame', 0)}"
                 cv2.imwrite(str(out / f"{fstem}.jpg"), frame)

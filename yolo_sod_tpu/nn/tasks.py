@@ -468,8 +468,6 @@ class DetectionModel:
         is only a fallback for exotic graphs whose trace needs more pixels.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        smax = int(self.stride.max())
-        imgsz = int(math.ceil(max(imgsz, smax * 2) / smax) * smax)
         # Trace with train=True so train-only branches (v10Detect's one2many
         # towers) materialize their params at init.
         # jit the init trace: eager flax init dispatches every conv/norm op
@@ -477,15 +475,26 @@ class DetectionModel:
         # rng and dummy are jit ARGUMENTS: closure-captured device arrays
         # lower as MLIR constants and cost a device->host fetch each.
         initfn = jax.jit(lambda r, d: self.net.init(r, d, train=True))
-        for sz in dict.fromkeys((smax * 2, imgsz)):
-            dummy = jnp.zeros((1, sz, sz, self.ch), jnp.float32)
-            try:
-                self.variables = initfn(rng, dummy)
-                return self.variables
-            except Exception:
-                if sz == imgsz:
-                    raise
+        self.variables = self._init_size_fallback(
+            lambda sz: initfn(rng, jnp.zeros((1, sz, sz, self.ch),
+                                             jnp.float32)), imgsz)
         return self.variables
+
+    def _init_size_fallback(self, run_init, imgsz: int):
+        """Run `run_init(size)` at the smallest stride-valid size, retrying
+        at the requested imgsz for exotic graphs whose trace needs more
+        pixels (the shared retry loop of DetectionModel/WorldModel init)."""
+        smax = int(self.stride.max())
+        imgsz = int(math.ceil(max(imgsz, smax * 2) / smax) * smax)
+        sizes = list(dict.fromkeys((smax * 2, imgsz)))
+        for i, sz in enumerate(sizes):
+            try:
+                return run_init(sz)
+            except Exception as e:
+                if i == len(sizes) - 1:
+                    raise
+                LOGGER.warning(f"init trace at {sz}x{sz} failed ({e}); "
+                               f"retrying at {sizes[i + 1]}x{sizes[i + 1]}")
 
     @property
     def params(self):
@@ -697,19 +706,12 @@ class WorldModel(DetectionModel):
 
     def init(self, rng: Optional[jax.Array] = None, imgsz: int = 256):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        smax = int(self.stride.max())
-        imgsz = int(math.ceil(max(imgsz, smax * 2) / smax) * smax)
         initfn = jax.jit(
             lambda r, d, g: self.net.init(r, d, train=True, guide=g))
         guide = jnp.asarray(self.txt_feats)
-        for sz in dict.fromkeys((smax * 2, imgsz)):
-            dummy = jnp.zeros((1, sz, sz, self.ch), jnp.float32)
-            try:
-                self.variables = initfn(rng, dummy, guide)
-                return self.variables
-            except Exception:
-                if sz == imgsz:
-                    raise
+        self.variables = self._init_size_fallback(
+            lambda sz: initfn(rng, jnp.zeros((1, sz, sz, self.ch),
+                                             jnp.float32), guide), imgsz)
         return self.variables
 
     def apply(self, variables, x, train: bool = False, active_mask=None,

@@ -104,12 +104,10 @@ def tp_param_sharding(mesh: Mesh, leaf, axis: str = "model",
     if not shape or shape[-1] < min_features or shape[-1] % n != 0:
         return NamedSharding(mesh, P())
     fan_in = int(np.prod(shape[:-1])) if ndim > 1 else 1
-    if ndim in (2, 4) and fan_in >= min_features:
-        # weight kernel: out-features (last dim) shard
-        spec = (None,) * (ndim - 1) + (axis,)
-        return NamedSharding(mesh, P(*spec))
-    if fan_in == 1:
-        # per-channel vector / broadcast scale: same channel split
+    # One consistent channel split: kernels (any fan-in — a stem (3,3,3,64)
+    # must split the same way as the BN vectors that follow it), per-channel
+    # vectors, and (1, ..., 1, C) broadcast scales all shard the last dim.
+    if ndim in (1, 2, 4) or fan_in == 1:
         spec = (None,) * (ndim - 1) + (axis,)
         return NamedSharding(mesh, P(*spec))
     return NamedSharding(mesh, P())

@@ -141,7 +141,10 @@ def collect_system_info() -> dict:
 
     import jax
 
+    import yolo_sod_tpu
+
     info = {
+        "yolo-sod-tpu": yolo_sod_tpu.__version__,
         "python": platform.python_version(),
         "platform": platform.platform(),
         "jax": jax.__version__,
@@ -154,11 +157,16 @@ def collect_system_info() -> dict:
     try:
         devs = jax.devices()
         info["devices"] = [d.device_kind for d in devs]
-        stats = getattr(devs[0], "memory_stats", lambda: None)()
+    except Exception:
+        devs, info["devices"] = [], []
+    try:
+        # memory_stats raises on some backends — must not wipe the
+        # already-collected device list.
+        stats = getattr(devs[0], "memory_stats", lambda: None)() if devs else None
         if stats and "bytes_limit" in stats:
             info["hbm_gb"] = round(stats["bytes_limit"] / 2**30, 1)
     except Exception:
-        info["devices"] = []
+        pass
     return info
 
 
