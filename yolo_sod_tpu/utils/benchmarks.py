@@ -32,11 +32,15 @@ def benchmark(model=None, imgsz: int = 640, batch: int = 1, half: bool = True,
     x = rng.random((batch, imgsz, imgsz, 3), np.float32)
     for fmt in formats:
         try:
+            # "tflite-int8" rows sweep the calibrated INT8 quantization
+            # (reference benchmark() exports int8 variants too).
+            base_fmt, int8 = (fmt[:-5], True) if fmt.endswith("-int8") else (fmt, False)
             args = get_cfg(DEFAULT_CFG_DICT, {"imgsz": imgsz, "batch": batch,
-                                              "half": half, "format": fmt,
-                                              "conf": conf, "mode": "export"})
+                                              "half": half, "format": base_fmt,
+                                              "conf": conf, "int8": int8,
+                                              "mode": "export"})
             path = Exporter(args=args)(model=model.model if hasattr(model, "model") else model,
-                                       fmt=fmt)
+                                       fmt=base_fmt)
             backend = AutoBackend(path).warmup((batch, imgsz, imgsz, 3))
             times = []
             for _ in range(iters):
