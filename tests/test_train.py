@@ -167,7 +167,7 @@ def test_convergence_to_high_map(dataset_yaml):
 
     model = DetectionModel("yolov12n.yaml", nc=2)
     trainer = DetectionTrainer(
-        overrides={"data": str(dataset_yaml), "epochs": 200, "batch": 8,
+        overrides={"data": str(dataset_yaml), "epochs": 300, "batch": 8,
                    "imgsz": 64, "optimizer": "SGD", "lr0": 0.01, "nbs": 8,
                    "warmup_epochs": 0.0, "val": False, "save": False,
                    "mosaic": 0.0, "project": str(TMP / "runs"),

@@ -281,20 +281,30 @@ class YOLODataset:
             ori_shape = (imgsz, imgsz)
         else:
             img, ori_shape = self.load_image(index)
+            # load_image PRE-RESIZES so the long side == imgsz; all label
+            # math below must use the loaded image's dims, not ori_shape —
+            # normalized labels scaled by ori_shape land in ORIGINAL pixels
+            # while the canvas is the resized one (a 1.5x box blowup at
+            # 96->64 that capped synthetic-set mAP at ~0.1 until round 4).
+            rh, rw = img.shape[:2]
             tgt = self.rect_shapes[index] if self.rect_shapes is not None \
                 else (imgsz, imgsz)
             img, r, (dw, dh) = letterbox_np(img, tgt, scaleup=self.augment)
-            ratio_pad = (r, (dw, dh))
-            h, w = ori_shape
-            labels_xyxy = xywhn2xyxy(self.labels[index], round(w * r), round(h * r), dw, dh)
+            # ratio_pad carries the TOTAL original->canvas ratio (pre-resize
+            # x letterbox) so scale_boxes_np maps predictions back to true
+            # original pixels (reference keeps the same composition).
+            r0 = rw / ori_shape[1] if ori_shape[1] else 1.0
+            ratio_pad = (r * r0, (dw, dh))
+            labels_xyxy = xywhn2xyxy(self.labels[index], round(rw * r),
+                                     round(rh * r), dw, dh)
             if self.segments is not None:
-                scale_xy = np.array([round(w * r), round(h * r)], np.float32)
+                scale_xy = np.array([round(rw * r), round(rh * r)], np.float32)
                 pad_xy = np.array([dw, dh], np.float32)
                 segs_px = [xy * scale_xy + pad_xy for _, xy in self.segments[index]]
             if self.kpts is not None:
                 kpts_px = self.kpts[index].copy()
-                kpts_px[..., 0] = kpts_px[..., 0] * round(w * r) + dw
-                kpts_px[..., 1] = kpts_px[..., 1] * round(h * r) + dh
+                kpts_px[..., 0] = kpts_px[..., 0] * round(rw * r) + dw
+                kpts_px[..., 1] = kpts_px[..., 1] * round(rh * r) + dh
             if self.augment:
                 img = np.ascontiguousarray(img)
                 if self.segments is not None:

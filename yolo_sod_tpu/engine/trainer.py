@@ -451,6 +451,12 @@ class DetectionTrainer:
                     f"{(time.time() - t_train) / 3600:.3f} h")
         if self.best_variables is None:
             self.best_variables = self._ema_variables()
+        # Adopt the final weights on the model object: the jitted step DONATES
+        # the state, so the init-time model.variables leaves are deleted
+        # buffers by now — any direct consumer (validator, predict, export)
+        # must see the trained EMA weights instead (the facade mirrors this,
+        # engine/model.py train()).
+        self.model.variables = self.best_variables
         # Final artifacts (reference final_eval trainer.py:676-689): halve the
         # kept checkpoints by dropping optimizer state; training curves.
         # (Deliberate divergence from the reference, which strips last.pt
