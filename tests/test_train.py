@@ -293,3 +293,46 @@ def test_workers_knob_reaches_loader(dataset_yaml):
         warmup_epochs=0))
     tr._setup_train()
     assert tr.train_loader.workers == 2
+
+
+def test_getitem_labels_align_with_canvas(tmp_path):
+    """Labels must live in the LETTERBOXED canvas frame for any source
+    resolution (round-4 regression: load_image pre-resizes to imgsz, and
+    scaling labels by ori_shape instead put GT in original pixels — 1.5x
+    off at 96->64, capping trainable mAP at ~0.1). Checks pixel content:
+    the label box must cover the drawn rectangle on the canvas."""
+    import cv2
+
+    from yolo_sod_tpu.data.dataset import YOLODataset
+
+    for H, W in ((96, 96), (120, 72)):
+        root = tmp_path / f"ds{H}x{W}"
+        (root / "images/train").mkdir(parents=True)
+        (root / "labels/train").mkdir(parents=True)
+        img = np.zeros((H, W, 3), np.uint8)
+        cx, cy, w, h = 0.5, 0.4, 0.4, 0.3
+        x1, y1 = int((cx - w / 2) * W), int((cy - h / 2) * H)
+        x2, y2 = int((cx + w / 2) * W), int((cy + h / 2) * H)
+        cv2.rectangle(img, (x1, y1), (x2, y2), (255, 255, 255), -1)
+        cv2.imwrite(str(root / "images/train/0.png"), img)
+        (root / "labels/train/0.txt").write_text(f"0 {cx} {cy} {w} {h}")
+
+        ds = YOLODataset(str(root / "images/train"), imgsz=64, augment=False)
+        item = ds[0]
+        canvas, labels = item["img"], item["labels"]
+        assert len(labels) == 1
+        _, lcx, lcy, lw, lh = labels[0]
+        ch, cw = canvas.shape[:2]
+        bx1, by1 = int((lcx - lw / 2) * cw), int((lcy - lh / 2) * ch)
+        bx2, by2 = int((lcx + lw / 2) * cw), int((lcy + lh / 2) * ch)
+        inside = canvas[by1 + 1: by2 - 1, bx1 + 1: bx2 - 1]
+        assert inside.size and (inside > 200).mean() > 0.95, \
+            f"label box does not cover the drawn rect ({H}x{W} source)"
+        # and the box must not be materially larger than the rect
+        area_label = (bx2 - bx1) * (by2 - by1)
+        area_lit = int((canvas > 200).all(-1).sum())
+        assert area_label < 1.3 * area_lit, \
+            f"label box {area_label}px vs lit {area_lit}px — inflated labels"
+        # ratio_pad carries the TOTAL original->canvas ratio
+        r, _ = item["ratio_pad"]
+        assert abs(r - 64 / max(H, W)) < 1e-6

@@ -292,8 +292,11 @@ class YOLODataset:
             img, r, (dw, dh) = letterbox_np(img, tgt, scaleup=self.augment)
             # ratio_pad carries the TOTAL original->canvas ratio (pre-resize
             # x letterbox) so scale_boxes_np maps predictions back to true
-            # original pixels (reference keeps the same composition).
-            r0 = rw / ori_shape[1] if ori_shape[1] else 1.0
+            # original pixels (reference keeps the same composition). The
+            # pre-resize scalar is exact on the LONG side (load_image targets
+            # it); the short side only differs by rounding.
+            r0 = max(rh / ori_shape[0], rw / ori_shape[1]) \
+                if all(ori_shape) else 1.0
             ratio_pad = (r * r0, (dw, dh))
             labels_xyxy = xywhn2xyxy(self.labels[index], round(rw * r),
                                      round(rh * r), dw, dh)
