@@ -237,3 +237,62 @@ def test_convert_coco_writes_yolo_labels(tmp_path):
     seg = np.array(parts[5:], np.float64).reshape(-1, 2)
     np.testing.assert_allclose(seg, [[0.05, 0.2], [0.25, 0.2], [0.25, 0.5]],
                                atol=1e-6)
+
+
+def test_seg_and_pose_labels_align_on_nonnative_source(tmp_path):
+    """Masks and keypoints must live in the letterboxed-canvas frame for a
+    source resolution != imgsz (round-4 regression class: the detect labels
+    were scaled by ori_shape instead of the pre-resized dims — this pins the
+    seg/pose branches of the same code path)."""
+    import cv2
+    import numpy as np
+
+    from yolo_sod_tpu.data.dataset import YOLODataset
+
+    H, W = 120, 72      # non-square, non-native (imgsz=64)
+    # --- segmentation: a white triangle, polygon label -------------------
+    root = tmp_path / "seg"
+    (root / "images/train").mkdir(parents=True)
+    (root / "labels/train").mkdir(parents=True)
+    img = np.zeros((H, W, 3), np.uint8)
+    poly_n = [(0.2, 0.2), (0.8, 0.25), (0.5, 0.75)]
+    pts = np.array([(int(x * W), int(y * H)) for x, y in poly_n], np.int32)
+    cv2.fillPoly(img, [pts], (255, 255, 255))
+    cv2.imwrite(str(root / "images/train/0.png"), img)
+    (root / "labels/train/0.txt").write_text(
+        "0 " + " ".join(f"{x} {y}" for x, y in poly_n))
+    ds = YOLODataset(str(root / "images/train"), imgsz=64, augment=False,
+                     task="segment")
+    item = ds[0]
+    canvas, masks = item["img"], item["masks"]
+    assert len(masks) == 1
+    m = masks[0]
+    mh, mw = m.shape
+    lit = cv2.resize((canvas > 200).all(-1).astype(np.float32), (mw, mh))
+    inter = float((m * lit).sum())
+    union = float(np.maximum(m, lit).sum())
+    assert union and inter / union > 0.7, \
+        f"mask/pixel IoU {inter / max(union, 1):.2f} — seg labels misaligned"
+
+    # --- pose: one white dot per keypoint --------------------------------
+    root = tmp_path / "pose"
+    (root / "images/train").mkdir(parents=True)
+    (root / "labels/train").mkdir(parents=True)
+    img = np.zeros((H, W, 3), np.uint8)
+    kpts_n = [(0.3, 0.3), (0.7, 0.6)]
+    for x, y in kpts_n:
+        cv2.circle(img, (int(x * W), int(y * H)), 4, (255, 255, 255), -1)
+    cv2.imwrite(str(root / "images/train/0.png"), img)
+    (root / "labels/train/0.txt").write_text(
+        "0 0.5 0.45 0.9 0.7 " + " ".join(f"{x} {y} 2" for x, y in kpts_n))
+    ds = YOLODataset(str(root / "images/train"), imgsz=64, augment=False,
+                     task="pose", kpt_shape=(2, 3))
+    item = ds[0]
+    canvas, kp = item["img"], item["keypoints"]
+    ch, cw = canvas.shape[:2]
+    assert kp.shape[0] == 1
+    for (kx, ky, v) in kp[0]:
+        px, py = int(kx * cw), int(ky * ch)
+        patch = canvas[max(py - 3, 0): py + 4, max(px - 3, 0): px + 4]
+        assert patch.size and (patch > 200).any(), \
+            f"keypoint ({px},{py}) does not land on its drawn dot"
