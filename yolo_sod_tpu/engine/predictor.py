@@ -250,13 +250,14 @@ class DetectionPredictor:
         self._write_outputs(res, path, src_meta or {})
         return res
 
-    def _write_outputs(self, res, path: str, src_meta: dict = {}):
+    def _write_outputs(self, res, path: str, src_meta: dict | None = None):
         """Honor save / save_txt / save_crop under save_dir (reference
         predictor write_results + Results save_txt/save_crop doctrine,
         tests/test_python.py test_labels_and_crops). Video-frame results
         stream into ONE annotated video per source via cv2.VideoWriter
         (reference predictor.py:363-389 save_predicted_images); save_frames
         additionally keeps the per-frame jpgs."""
+        src_meta = src_meta or {}
         args = self.args
         if not (args.save or args.save_txt or getattr(args, "save_crop", False)):
             return
@@ -291,7 +292,8 @@ class DetectionPredictor:
                 self._writers[vid] = w
             if w is not None:
                 w.write(frame)
-            else:
+            elif not getattr(args, "save_frames", False):
+                # save_frames already writes this exact still below.
                 fstem = f"{Path(vid).stem}_frame{src_meta.get('frame', 0)}"
                 cv2.imwrite(str(out / f"{fstem}.jpg"), frame)
             if getattr(args, "save_frames", False):

@@ -489,12 +489,32 @@ class DetectionModel:
         sizes = list(dict.fromkeys((smax * 2, imgsz)))
         for i, sz in enumerate(sizes):
             try:
-                return run_init(sz)
+                out = run_init(sz)
             except Exception as e:
                 if i == len(sizes) - 1:
                     raise
                 LOGGER.warning(f"init trace at {sz}x{sz} failed ({e}); "
                                f"retrying at {sizes[i + 1]}x{sizes[i + 1]}")
+                continue
+            # Channels-only invariant guard: the fast path inits at 2*stride
+            # regardless of the serving imgsz, which is only sound while no
+            # module's PARAM shapes depend on the spatial size. A module that
+            # violates this would init "successfully" with wrong shapes and
+            # fail only at serving/checkpoint-load time — opt into the cheap
+            # abstract cross-check (no compile, no device work) to fail at
+            # init instead.
+            if (sz != imgsz and i == 0
+                    and os.environ.get("YOLO_SOD_INIT_SHAPECHECK")):
+                ref = jax.eval_shape(lambda: run_init(imgsz))
+                got = jax.tree_util.tree_map(lambda a: a.shape, out)
+                want = jax.tree_util.tree_map(lambda a: a.shape, ref)
+                if got != want:
+                    raise RuntimeError(
+                        f"param shapes from the {sz}x{sz} init trace differ "
+                        f"from the requested {imgsz}x{imgsz} trace — a module "
+                        "in this graph has spatial-size-dependent params; "
+                        "init must run at the serving size")
+            return out
 
     @property
     def params(self):
