@@ -27,25 +27,58 @@ def box_iou(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndarray
 
 
 def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
-    """Box-filter smoothing with edge padding (reference metrics.py:432)."""
-    nf = round(len(y) * f * 2) // 2 + 1
-    p = np.ones(nf // 2)
-    yp = np.concatenate([p * y[0], y, p * y[-1]])
-    return np.convolve(yp, np.ones(nf) / nf, mode="valid")
+    """Odd-width box filter spanning ~2f of the curve, edges held constant.
+
+    Consumers use this only to pick the max-F1 confidence index, so the
+    window rule must match the protocol (reference metrics.py:432 contract):
+    width = round(len*f*2)//2 + 1.
+    """
+    width = round(len(y) * f * 2) // 2 + 1
+    hold = width // 2
+    padded = np.concatenate([np.full(hold, y[0]), y, np.full(hold, y[-1])])
+    return np.convolve(padded, np.full(width, 1.0 / width), mode="valid")
+
+
+# The mAP protocol's fixed evaluation grids (contract constants, reference
+# metrics.py:517-624): 101 recall points for the AP integral, 1000 confidence
+# points for the P/R/F1-vs-confidence curves.
+_AP_GRID = np.linspace(0, 1, 101)
+_CONF_GRID = np.linspace(0, 1, 1000)
+
+
+def _staircase_auc(recall_cols: np.ndarray, precision_cols: np.ndarray):
+    """Interpolated PR-curve area for T thresholds at once.
+
+    Takes conf-descending staircases as (n, T) columns, wraps them in the
+    protocol's sentinel rows (recall 0->1, precision 1->0), takes the
+    right-to-left precision envelope (running max toward low recall), and
+    integrates each column's 101-point linear interpolation with the
+    trapezoid rule. Returns ((T,) areas, sentinel recall, envelope) — the
+    latter two so the caller can resample column 0 onto the conf grid.
+    """
+    T = recall_cols.shape[1]
+    rec = np.vstack([np.zeros((1, T)), recall_cols, np.ones((1, T))])
+    env = np.vstack([np.ones((1, T)), precision_cols, np.zeros((1, T))])
+    env = np.maximum.accumulate(env[::-1], axis=0)[::-1]
+    areas = np.empty(T)
+    for t in range(T):
+        areas[t] = np.trapezoid(np.interp(_AP_GRID, rec[:, t], env[:, t]),
+                                _AP_GRID)
+    return areas, rec, env
 
 
 def compute_ap(recall, precision):
-    """AP of one PR curve via 101-point interpolation (reference :517-534)."""
-    mrec = np.concatenate(([0.0], recall, [1.0]))
-    mpre = np.concatenate(([1.0], precision, [0.0]))
-    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
-    x = np.linspace(0, 1, 101)
-    ap = np.trapezoid(np.interp(x, mrec, mpre), x)
-    return ap, mpre, mrec
+    """AP of one PR staircase via 101-point interpolation (reference
+    metrics.py:517-534 protocol). Returns (ap, envelope, sentinel_recall)."""
+    areas, rec, env = _staircase_auc(np.asarray(recall)[:, None],
+                                     np.asarray(precision)[:, None])
+    return areas[0], env[:, 0], rec[:, 0]
 
 
 def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
-    """Per-class AP over the 10 IoU thresholds (reference :537-624).
+    """Per-class AP over the 10 IoU thresholds (reference metrics.py:537-624
+    protocol — a semantic contract: every quantity below must match the
+    reference bit-for-bit, pinned by tests/test_metrics_parity.py).
 
     Args:
         tp: (Np, 10) bool TP at IoU 0.5:0.95.
@@ -57,43 +90,50 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
         tp_count, fp_count, p, r, f1 (per class at max-F1 conf),
         ap (ncls, 10), unique_classes, p_curve, r_curve, f1_curve, x, prec_values.
     """
-    i = np.argsort(-conf)
-    tp, conf, pred_cls = tp[i], conf[i], pred_cls[i]
+    # One global confidence-descending sort. np.argsort(-conf) (not a stable
+    # variant) is part of the contract: its tie permutation feeds every
+    # cumulative count below.
+    order = np.argsort(-conf)
+    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
 
-    unique_classes, nt = np.unique(target_cls, return_counts=True)
-    nc = unique_classes.shape[0]
+    classes, gt_counts = np.unique(target_cls, return_counts=True)
+    n_thr = tp.shape[1]
 
-    x = np.linspace(0, 1, 1000)
-    ap = np.zeros((nc, tp.shape[1]))
-    p_curve = np.zeros((nc, 1000))
-    r_curve = np.zeros((nc, 1000))
-    prec_values = []
+    ap = np.zeros((len(classes), n_thr))
+    p_curve = np.zeros((len(classes), _CONF_GRID.size))
+    r_curve = np.zeros((len(classes), _CONF_GRID.size))
+    pr50 = []   # interpolated IoU-0.5 precision envelope per evaluated class
 
-    for ci, c in enumerate(unique_classes):
-        i = pred_cls == c
-        n_l = nt[ci]
-        n_p = i.sum()
-        if n_p == 0 or n_l == 0:
+    for ci, (c, n_gt) in enumerate(zip(classes, gt_counts)):
+        sel = pred_cls == c
+        if n_gt == 0 or not sel.any():
             continue
-        fpc = (1 - tp[i]).cumsum(0)
-        tpc = tp[i].cumsum(0)
-        recall = tpc / (n_l + eps)
-        r_curve[ci] = np.interp(-x, -conf[i], recall[:, 0], left=0)
-        precision = tpc / (tpc + fpc)
-        p_curve[ci] = np.interp(-x, -conf[i], precision[:, 0], left=1)
-        for j in range(tp.shape[1]):
-            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
-            if j == 0:
-                prec_values.append(np.interp(x, mrec, mpre))
+        # Running hit count; the miss count is rank - hits, so precision is
+        # hits/rank — exact integer arithmetic in float64, identical to the
+        # tp/(tp+fp) cumsum pair it replaces.
+        hits = tp[sel].cumsum(0).astype(np.float64)
+        ranks = np.arange(1, hits.shape[0] + 1, dtype=np.float64)[:, None]
+        recall = hits / float(n_gt)
+        precision = hits / ranks
 
-    prec_values = np.array(prec_values) if prec_values else np.zeros((1, 1000))
+        # Resample the IoU-0.5 staircases onto the shared confidence grid.
+        # Knots ascend (conf reversed); above the top knot recall is 0 and
+        # precision 1, below the bottom knot each holds its last value.
+        knots = conf[sel][::-1]
+        r_curve[ci] = np.interp(_CONF_GRID, knots, recall[::-1, 0], right=0.0)
+        p_curve[ci] = np.interp(_CONF_GRID, knots, precision[::-1, 0], right=1.0)
+
+        ap[ci], rec_sent, env = _staircase_auc(recall, precision)
+        pr50.append(np.interp(_CONF_GRID, rec_sent[:, 0], env[:, 0]))
+
+    prec_values = np.array(pr50) if pr50 else np.zeros((1, _CONF_GRID.size))
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
-    i = smooth(f1_curve.mean(0), 0.1).argmax()          # max-F1 confidence index
-    p, r, f1 = p_curve[:, i], r_curve[:, i], f1_curve[:, i]
-    tp_count = (r * nt).round()
+    best = smooth(f1_curve.mean(0), 0.1).argmax()       # max-F1 conf index
+    p, r, f1 = p_curve[:, best], r_curve[:, best], f1_curve[:, best]
+    tp_count = (r * gt_counts).round()
     fp_count = (tp_count / (p + eps) - tp_count).round()
-    return (tp_count, fp_count, p, r, f1, ap, unique_classes.astype(int),
-            p_curve, r_curve, f1_curve, x, prec_values)
+    return (tp_count, fp_count, p, r, f1, ap, classes.astype(int),
+            p_curve, r_curve, f1_curve, _CONF_GRID, prec_values)
 
 
 class Metric:
@@ -219,53 +259,74 @@ class ConfusionMatrix:
 
     def process_batch(self, detections, gt_bboxes, gt_cls):
         """Update with one image: detections (N, 6) [xyxy conf cls], GT (M, 4)/(M,)."""
-        if gt_cls.size == 0:
-            if detections is not None and len(detections):
-                detections = detections[detections[:, 4] > self.conf]
-                for dc in detections[:, 5].astype(int):
-                    self.matrix[dc, self.nc] += 1   # false positive
-            return
-        if detections is None or len(detections) == 0:
-            for gc in gt_cls.astype(int):
-                self.matrix[self.nc, gc] += 1       # background FN
+        gt_ids = np.asarray(gt_cls).astype(int)
+        if detections is not None and len(detections):
+            detections = detections[detections[:, 4] > self.conf]
+        det_ids = (detections[:, 5].astype(int)
+                   if detections is not None and len(detections)
+                   else np.zeros(0, int))
+
+        if gt_ids.size == 0 or det_ids.size == 0:
+            # one side empty: everything on the other side hits background
+            np.add.at(self.matrix, (det_ids, np.full(det_ids.size, self.nc)), 1)
+            np.add.at(self.matrix, (np.full(gt_ids.size, self.nc), gt_ids), 1)
             return
 
-        detections = detections[detections[:, 4] > self.conf]
-        gt_classes = gt_cls.astype(int)
-        detection_classes = detections[:, 5].astype(int)
         iou = box_iou(gt_bboxes, detections[:, :4])
+        gi, di = np.nonzero(iou > self.iou_thres)       # strict, per reference
+        gi, di = _resolve_pairs(gi, di, iou[gi, di], resort_between=True)
 
-        x = np.where(iou > self.iou_thres)
-        if x[0].shape[0]:
-            matches = np.concatenate((np.stack(x, 1), iou[x[0], x[1]][:, None]), 1)
-            if x[0].shape[0] > 1:
-                matches = matches[matches[:, 2].argsort()[::-1]]
-                matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
-                matches = matches[matches[:, 2].argsort()[::-1]]
-                matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
-        else:
-            matches = np.zeros((0, 3))
-
-        n = matches.shape[0] > 0
-        m0, m1, _ = matches.transpose().astype(int)
-        for i, gc in enumerate(gt_classes):
-            j = m0 == i
-            if n and j.sum() == 1:
-                self.matrix[detection_classes[m1[j]][0], gc] += 1  # correct or cls-confused
-            else:
-                self.matrix[self.nc, gc] += 1                       # background FN
-        for i, dc in enumerate(detection_classes):
-            if not (n and (m1 == i).any()):
-                self.matrix[dc, self.nc] += 1                       # background FP
+        # Matched pairs land on (det class, gt class) — the diagonal when the
+        # classes agree, a confusion cell otherwise. Leftover GTs are
+        # background FNs (row nc); leftover dets are background FPs (col nc).
+        np.add.at(self.matrix, (det_ids[di], gt_ids[gi]), 1)
+        fn = gt_ids[np.setdiff1d(np.arange(gt_ids.size), gi)]
+        np.add.at(self.matrix, (np.full(fn.size, self.nc), fn), 1)
+        fp = det_ids[np.setdiff1d(np.arange(det_ids.size), di)]
+        np.add.at(self.matrix, (fp, np.full(fp.size, self.nc)), 1)
 
     def print(self):
         for i in range(self.nc + 1):
             LOGGER.info(" ".join(map(str, self.matrix[i])))
 
 
+def _resolve_pairs(gt_idx, det_idx, pair_iou, resort_between: bool = False):
+    """One-to-one candidate-pair resolution, reference dedup-chain semantics.
+
+    Given candidate (gt, det) pairs, keep for each det its best-IoU gt, then
+    for each gt one surviving det. The protocol's tie-breaking quirks are
+    load-bearing and deliberately reproduced (pinned by
+    tests/test_metrics_parity.py::test_match_predictions_parity):
+
+    * "best" uses ``argsort()[::-1]`` (reversed ascending) on the IoU
+      vector, so exact-tie order is the reverse of the ascending sort;
+    * after the det pass the pairs sit in det-id order, so without a
+      re-sort the gt pass keeps the pair with the LOWEST det id (reference
+      validator.py:222-263 behavior);
+    * the confusion-matrix variant (reference metrics.py:294) re-sorts by
+      IoU between the passes, so its gt pass keeps the best-IoU det —
+      ``resort_between`` selects that variant.
+
+    Returns the surviving (gt_idx, det_idx) arrays.
+    """
+    if gt_idx.size > 1:
+        by_iou = pair_iou.argsort()[::-1]
+        gt_idx, det_idx, pair_iou = (gt_idx[by_iou], det_idx[by_iou],
+                                     pair_iou[by_iou])
+        keep = np.unique(det_idx, return_index=True)[1]   # -> det-id order
+        gt_idx, det_idx, pair_iou = gt_idx[keep], det_idx[keep], pair_iou[keep]
+        if resort_between:
+            by_iou = pair_iou.argsort()[::-1]
+            gt_idx, det_idx = gt_idx[by_iou], det_idx[by_iou]
+        keep = np.unique(gt_idx, return_index=True)[1]
+        gt_idx, det_idx = gt_idx[keep], det_idx[keep]
+    return gt_idx, det_idx
+
+
 def match_predictions(pred_classes, true_classes, iou, iou_thresholds=None,
                       use_scipy: bool = False) -> np.ndarray:
-    """TP matrix over 10 IoU thresholds (reference validator.py:222-263).
+    """TP matrix over 10 IoU thresholds (reference validator.py:222-263
+    semantics, via _resolve_pairs WITHOUT the inter-pass re-sort).
 
     Args:
         pred_classes: (N,) predicted class ids.
@@ -275,19 +336,14 @@ def match_predictions(pred_classes, true_classes, iou, iou_thresholds=None,
     Returns:
         (N, 10) bool TP at IoU = 0.5, 0.55, ..., 0.95.
     """
-    if iou_thresholds is None:
-        iou_thresholds = np.linspace(0.5, 0.95, 10)
-    correct = np.zeros((pred_classes.shape[0], len(iou_thresholds)), dtype=bool)
-    correct_class = true_classes[:, None] == pred_classes[None, :]
-    iou = iou * correct_class
-    for i, threshold in enumerate(iou_thresholds):
-        matches = np.nonzero(iou >= threshold)
-        matches = np.array(matches).T
-        if matches.shape[0]:
-            if matches.shape[0] > 1:
-                order = iou[matches[:, 0], matches[:, 1]].argsort()[::-1]
-                matches = matches[order]
-                matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
-                matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
-            correct[matches[:, 1].astype(int), i] = True
-    return correct
+    thresholds = (np.linspace(0.5, 0.95, 10) if iou_thresholds is None
+                  else iou_thresholds)
+    tp = np.zeros((pred_classes.shape[0], len(thresholds)), dtype=bool)
+    class_ok = true_classes[:, None] == pred_classes[None, :]
+    iou = iou * class_ok
+    for t, thr in enumerate(thresholds):
+        gi, di = np.nonzero(iou >= thr)
+        if gi.size:
+            _, di = _resolve_pairs(gi, di, iou[gi, di])
+            tp[di, t] = True
+    return tp
