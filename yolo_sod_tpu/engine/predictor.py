@@ -151,7 +151,6 @@ class DetectionPredictor:
             # device arrays lower as MLIR constants, and each one costs a
             # device->host fetch at trace time (~0.7 s/leaf x 447 leaves = 330 s
             # cold start at 640^2 over the axon tunnel; VERDICT r3 missing #1).
-            @jax.jit
             def fn(variables, x):
                 # uint8 in, normalize on device: 4x less host->device traffic
                 # than fp32 (north-star: whole pipeline in one graph).
@@ -165,7 +164,32 @@ class DetectionPredictor:
                     preds, conf_thres=args.conf, iou_thres=args.iou,
                     agnostic=args.agnostic_nms, max_det=args.max_det,
                     classes=args.classes, max_nms=1024)
-            self._fns[key] = lambda x, _fn=fn: _fn(self._variables, x)
+
+            # Persist the compiled pipeline across processes (utils/aot.py):
+            # params are jit ARGUMENTS so the executable is weight-free and a
+            # cache hit is valid for any checkpoint of the same architecture.
+            # The key carries everything traced as a Python constant.
+            import hashlib as _hashlib
+            import json as _json
+
+            sem = _json.dumps(
+                [getattr(model, "yaml", None), bool(args.half), augment,
+                 args.conf, args.iou, bool(args.agnostic_nms),
+                 int(args.max_det), args.classes, type(self).__name__,
+                 type(self).adapt_raw.__qualname__],
+                sort_keys=True, default=str)
+            mkey = "pipe:" + _hashlib.sha256(sem.encode()).hexdigest()[:20]
+            x_spec = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), jnp.uint8)
+            try:
+                from yolo_sod_tpu.utils.aot import cached_compile
+
+                compiled, self.pipeline_timings = cached_compile(
+                    fn, (self._variables, x_spec), mkey)
+            except Exception as e:
+                LOGGER.warning(f"AOT pipeline cache unavailable ({e}); jit")
+                compiled = jax.jit(fn)
+                self.pipeline_timings = {"cache": "error"}
+            self._fns[key] = lambda x, _fn=compiled: _fn(self._variables, x)
         return self._fns[key]
 
     def __call__(self, source=None, stream: bool = False):

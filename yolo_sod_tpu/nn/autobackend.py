@@ -42,6 +42,9 @@ class AutoBackend:
         elif suffix == ".stablehlo":
             self._init_stablehlo()
             self.format = "stablehlo"
+        elif suffix == ".aot":
+            self._init_aot()
+            self.format = "aot"
         elif suffix == ".tflite":
             self._init_tflite(conf, iou, max_det)
             self.format = "tflite"
@@ -88,6 +91,43 @@ class AutoBackend:
         self.imgsz = meta.get("imgsz")
         exp = jexport.deserialize(blob)
         self._fn = lambda x: exp.call(x)
+
+    # -- aot ------------------------------------------------------------------
+    def _init_aot(self):
+        """Serialized compiled executable: deserialize + run — no trace, no
+        XLA compile (exporter fmt=aot). Treedefs rebuild from the header's
+        input/output specs; the artifact is bound to the platform/device
+        kind/jax version it was compiled on, checked here for a clean error
+        instead of an undefined dispatch."""
+        from jax.experimental import serialize_executable as se
+        from jax.tree_util import tree_structure
+
+        from yolo_sod_tpu.engine.exporter import AOT_MAGIC
+
+        with open(self.path, "rb") as f:
+            if f.read(len(AOT_MAGIC)) != AOT_MAGIC:
+                raise ValueError(f"{self.path}: bad aot header")
+            n = int.from_bytes(f.read(8), "little")
+            meta = json.loads(f.read(n).decode())
+            payload = f.read()
+        dev = jax.devices()[0]
+        want = (meta.get("platform"), meta.get("device_kind"),
+                meta.get("jax_version"))
+        have = (dev.platform, dev.device_kind, jax.__version__)
+        if want != have:
+            raise RuntimeError(
+                f"{self.path}: AOT artifact was compiled for "
+                f"platform/device/jax {want} but this process runs {have}; "
+                "re-export on this platform or load the .ckpt instead")
+        self.names = {int(k): v for k, v in (meta.get("names") or {}).items()}
+        self.imgsz = meta.get("imgsz")
+        in_specs = tuple(jax.ShapeDtypeStruct(tuple(s), np.dtype(d))
+                         for s, d in meta["inputs"])
+        out_specs = tuple(jax.ShapeDtypeStruct(tuple(s), np.dtype(d))
+                          for s, d in meta["outputs"])
+        in_tree = tree_structure((in_specs, {}))
+        out_tree = tree_structure(out_specs)
+        self._fn = se.deserialize_and_load(payload, in_tree, out_tree)
 
     # -- tflite ---------------------------------------------------------------
     def _init_tflite(self, conf=0.25, iou=0.45, max_det=300):
