@@ -245,11 +245,32 @@ def train_one(model_key: str, root: Path, imgsz: int, epochs: int, batch: int,
 
 
 def report(root: Path) -> None:
+    """Best-epoch table from each run's results.csv + final.json."""
+    import csv as _csv
+
     rows = []
     for key in RUNS:
-        f = root / "runs" / key / "final.json"
+        run = root / "runs" / key
+        entry = {"model": key}
+        f = run / "final.json"
         if f.exists():
-            rows.append(json.loads(f.read_text()))
+            entry.update(json.loads(f.read_text()))
+        rc = run / "results.csv"
+        if rc.exists():
+            best = None
+            with open(rc) as fh:
+                for r in _csv.DictReader(fh):
+                    m = r.get("metrics/mAP50-95(B)") or ""
+                    if m.strip():
+                        v = float(m)
+                        if best is None or v > best[0]:
+                            best = (v, float(r.get("metrics/mAP50(B)", 0) or 0),
+                                    int(float(r["epoch"])))
+            if best:
+                entry["best"] = {"mAP50-95": round(best[0], 4),
+                                 "mAP50": round(best[1], 4),
+                                 "epoch": best[2]}
+        rows.append(entry)
     print(json.dumps(rows, indent=1))
 
 

@@ -513,18 +513,33 @@ class DetectionTrainer:
         return dict(zip(keys, [float(x) for x in items]))
 
     def _write_csv(self, epoch: int, fitness):
-        header = not self.csv.exists()
+        """Append one results.csv row, rewriting the whole file under the
+        union header. With val_period > 1 the metric columns only exist
+        after the first validated epoch — a fixed append-only header written
+        at epoch 1 would misalign every later row (and stale metrics must
+        not repeat on non-val epochs: their cells stay empty)."""
+        fresh = fitness is not None       # this epoch ran validation
         vals = {"epoch": epoch + 1,
                 "time": round(time.time() - getattr(self, "_t_train0", time.time()), 2),
                 **self.label_loss_items(self.tloss),
                 **({k: v for k, v in zip(self.metrics.keys, self.metrics.mean_results())}
-                   if self.metrics else {}),
-                "fitness": fitness if fitness is not None else "",
+                   if (self.metrics and fresh) else {}),
+                "fitness": fitness if fresh else "",
                 "lr/pg0": self.lr}
-        with open(self.csv, "a") as f:
-            if header:
-                f.write(",".join(vals.keys()) + "\n")
-            f.write(",".join(str(v) for v in vals.values()) + "\n")
+        rows = getattr(self, "_csv_rows", None)
+        if rows is None:
+            rows = self._csv_rows = []
+            if self.csv.exists():        # resume: keep the earlier rows
+                import csv as _csv
+
+                with open(self.csv) as f:
+                    rows.extend(dict(r) for r in _csv.DictReader(f))
+        rows.append(vals)
+        cols = list(dict.fromkeys(k for r in rows for k in r))
+        with open(self.csv, "w") as f:
+            f.write(",".join(cols) + "\n")
+            for r in rows:
+                f.write(",".join(str(r.get(c, "")) for c in cols) + "\n")
 
     def _save_ckpt(self, epoch: int, fitness):
         variables = {"params": jax.device_get(self.state.params)}

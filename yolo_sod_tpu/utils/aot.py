@@ -70,8 +70,8 @@ def _signature(key: str, args: Sequence[Any]) -> str:
     h.update(jax.__version__.encode())
     h.update(_device_tag().encode())
     for leaf in jax.tree_util.tree_leaves(args):
-        aval = jax.api_util.shaped_abstractify(leaf)
-        h.update(str((aval.shape, str(aval.dtype))).encode())
+        h.update(str((tuple(getattr(leaf, "shape", ())),
+                      str(getattr(leaf, "dtype", type(leaf).__name__)))).encode())
     return h.hexdigest()[:24]
 
 
