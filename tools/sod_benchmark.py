@@ -274,9 +274,29 @@ def report(root: Path) -> None:
     print(json.dumps(rows, indent=1))
 
 
+def valbest(root: Path, imgsz: int, batch: int) -> None:
+    """Standalone val of each run's best.ckpt — ONE protocol for the final
+    table (the in-training curves differ in EMA state and val cadence)."""
+    from yolo_sod_tpu import YOLO
+
+    table = {}
+    for key in RUNS:
+        ck = root / "runs" / key / "weights" / "best.ckpt"
+        if not ck.exists():
+            table[key] = None
+            continue
+        m = YOLO(str(ck))
+        metrics = m.val(data=str(root / "data.yaml"), imgsz=imgsz,
+                        batch=batch, conf=0.001, iou=0.7, plots=False)
+        table[key] = {k: round(float(v), 4)
+                      for k, v in metrics.results_dict.items()}
+    (root / "valbest.json").write_text(json.dumps(table, indent=1))
+    print("VALBEST " + json.dumps(table))
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("cmd", choices=["gen", "train", "report"])
+    p.add_argument("cmd", choices=["gen", "train", "report", "valbest"])
     p.add_argument("--root", type=Path, default=DEFAULT_ROOT)
     p.add_argument("--model", choices=list(RUNS), default="yolov12n")
     p.add_argument("--imgsz", type=int, default=320)
@@ -292,6 +312,8 @@ def main():
     elif args.cmd == "train":
         train_one(args.model, args.root, args.imgsz, args.epochs, args.batch,
                   resume=args.resume, close_p2_until=args.close_p2_until)
+    elif args.cmd == "valbest":
+        valbest(args.root, args.imgsz, args.batch)
     else:
         report(args.root)
 
