@@ -216,9 +216,14 @@ def train_one(model_key: str, root: Path, imgsz: int, epochs: int, batch: int,
 
         model = YOLO(cfg)
         stages = create_hcp_400_config()
+        # lr0=0.01, NOT stage1's 0.002: the reference's committed headline
+        # runs used optimizer=auto, which resolves to SGD lr 0.01 and IGNORES
+        # the configured lr0 (SURVEY §6 golden recipe) — the stage-1 value
+        # never actually applied; stages 2-4 mutate lr in-process at epochs
+        # 50/150/350 via the callback, which we reproduce faithfully.
         trainer = DetectionTrainer(
             overrides={**model.overrides, **common, "mode": "train",
-                       "lr0": stages["stage1"]["lr0"], "optimizer": "SGD"},
+                       "lr0": 0.01, "optimizer": "SGD"},
             model=model.model)
         trainer.add_callback("on_train_epoch_start",
                              create_staged_training_callback(stages))
