@@ -191,11 +191,29 @@ RUNS = {
 
 
 def train_one(model_key: str, root: Path, imgsz: int, epochs: int, batch: int,
-              resume: bool = False, close_p2_until: int = 20) -> None:
+              resume: bool = False, close_p2_until: int = 20,
+              staged_lr: str = "effective") -> None:
     """One training leg. Baselines get the reference's stock single-stage
     recipe (SURVEY §6 golden args, SGD lr0 0.01 linear decay); the flagship
-    gets the full HCP staged protocol (stage hyp mutations + DetectStable
-    P2 gate + early-phase guard), reference train_yolov12_staged.py:81-218."""
+    gets the HCP staged protocol (stage hyp mutations + DetectStable P2
+    gate + early-phase guard), reference train_yolov12_staged.py:81-218.
+
+    staged_lr selects which lr semantics the stage switch uses:
+
+    * "literal"   — the stage lr0 values persist (what the staged CONFIG
+      says: 1e-3 from epoch 50, 6e-4 from 150, 3e-4 from 350).
+    * "effective" — stage switches mutate AUGMENTATION only and lr stays on
+      the stock SGD 0.01 linear decay. This is what the reference's
+      committed 27.5-mAP runs actually did: their callback writes
+      pg['lr'], but ultralytics' LambdaLR scheduler recomputes lr from the
+      captured lr0 at the next epoch step, so each stage's lr assignment
+      lasted ONE epoch (reference train_yolov12_staged.py:190-193 vs
+      ultralytics trainer._setup_scheduler) — on top of the P2 gate being
+      a no-op on their plain-Detect config (SURVEY §2.1). Measured here
+      (PERF.md round-5): the literal schedule starves the 13.5 M flagship
+      (mAP50-95 0.45 @ epoch 175 vs baselines' 0.70 at the same point);
+      the effective protocol is the one that reproduces the headline.
+    """
     cfg, staged = RUNS[model_key]
     data = str(root / "data.yaml")
     project = str(root / "runs")
@@ -216,11 +234,16 @@ def train_one(model_key: str, root: Path, imgsz: int, epochs: int, batch: int,
 
         model = YOLO(cfg)
         stages = create_hcp_400_config()
+        if staged_lr == "effective":
+            # Strip lr0 from the stage dicts: the reference's stage lr
+            # writes were undone by its scheduler every epoch (docstring) —
+            # the headline-reproducing schedule is stock SGD 0.01 linear
+            # decay with staged AUGMENTATION mutations only.
+            stages = {k: {kk: vv for kk, vv in v.items() if kk != "lr0"}
+                      for k, v in stages.items()}
         # lr0=0.01, NOT stage1's 0.002: the reference's committed headline
         # runs used optimizer=auto, which resolves to SGD lr 0.01 and IGNORES
-        # the configured lr0 (SURVEY §6 golden recipe) — the stage-1 value
-        # never actually applied; stages 2-4 mutate lr in-process at epochs
-        # 50/150/350 via the callback, which we reproduce faithfully.
+        # the configured lr0 (SURVEY §6 golden recipe).
         trainer = DetectionTrainer(
             overrides={**model.overrides, **common, "mode": "train",
                        "lr0": 0.01, "optimizer": "SGD"},
@@ -311,12 +334,15 @@ def main():
     p.add_argument("--n-val", type=int, default=96)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--close-p2-until", type=int, default=20)
+    p.add_argument("--staged-lr", choices=["literal", "effective"],
+                   default="effective")
     args = p.parse_args()
     if args.cmd == "gen":
         make_sod_dataset(args.root, args.n_train, args.n_val)
     elif args.cmd == "train":
         train_one(args.model, args.root, args.imgsz, args.epochs, args.batch,
-                  resume=args.resume, close_p2_until=args.close_p2_until)
+                  resume=args.resume, close_p2_until=args.close_p2_until,
+                  staged_lr=args.staged_lr)
     elif args.cmd == "valbest":
         valbest(args.root, args.imgsz, args.batch)
     else:
