@@ -192,7 +192,8 @@ RUNS = {
 
 def train_one(model_key: str, root: Path, imgsz: int, epochs: int, batch: int,
               resume: bool = False, close_p2_until: int = 20,
-              staged_lr: str = "effective") -> None:
+              staged_lr: str = "effective", lr0: float = None,
+              patience: int = None) -> None:
     """One training leg. Baselines get the reference's stock single-stage
     recipe (SURVEY §6 golden args, SGD lr0 0.01 linear decay); the flagship
     gets the HCP staged protocol (stage hyp mutations + DetectStable P2
@@ -219,7 +220,8 @@ def train_one(model_key: str, root: Path, imgsz: int, epochs: int, batch: int,
     project = str(root / "runs")
     common = dict(data=data, epochs=epochs, imgsz=imgsz, batch=batch,
                   project=project, name=model_key, exist_ok=True,
-                  patience=50, save_period=25, seed=0, workers=4,
+                  patience=patience if patience is not None else 50,
+                  save_period=25, seed=0, workers=4,
                   cache="ram", val_period=3)
     if resume:
         common["resume"] = str(Path(project) / model_key / "weights" / "last.ckpt")
@@ -246,7 +248,8 @@ def train_one(model_key: str, root: Path, imgsz: int, epochs: int, batch: int,
         # the configured lr0 (SURVEY §6 golden recipe).
         trainer = DetectionTrainer(
             overrides={**model.overrides, **common, "mode": "train",
-                       "lr0": 0.01, "optimizer": "SGD"},
+                       "lr0": lr0 if lr0 is not None else 0.01,
+                       "optimizer": "SGD"},
             model=model.model)
         trainer.add_callback("on_train_epoch_start",
                              create_staged_training_callback(stages))
@@ -336,13 +339,19 @@ def main():
     p.add_argument("--close-p2-until", type=int, default=20)
     p.add_argument("--staged-lr", choices=["literal", "effective"],
                    default="effective")
+    p.add_argument("--lr0", type=float, default=None,
+                   help="override the staged run's base lr (A/B: 0.01 is "
+                        "val-unstable for the 13.5M flagship on 20-step "
+                        "epochs, 0.001 crawls; see PERF.md round-5)")
+    p.add_argument("--patience", type=int, default=None)
     args = p.parse_args()
     if args.cmd == "gen":
         make_sod_dataset(args.root, args.n_train, args.n_val)
     elif args.cmd == "train":
         train_one(args.model, args.root, args.imgsz, args.epochs, args.batch,
                   resume=args.resume, close_p2_until=args.close_p2_until,
-                  staged_lr=args.staged_lr)
+                  staged_lr=args.staged_lr, lr0=args.lr0,
+                  patience=args.patience)
     elif args.cmd == "valbest":
         valbest(args.root, args.imgsz, args.batch)
     else:
