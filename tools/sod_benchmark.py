@@ -193,7 +193,7 @@ RUNS = {
 def train_one(model_key: str, root: Path, imgsz: int, epochs: int, batch: int,
               resume: bool = False, close_p2_until: int = 20,
               staged_lr: str = "effective", lr0: float = None,
-              patience: int = None) -> None:
+              patience: int = None, optimizer: str = None) -> None:
     """One training leg. Baselines get the reference's stock single-stage
     recipe (SURVEY §6 golden args, SGD lr0 0.01 linear decay); the flagship
     gets the HCP staged protocol (stage hyp mutations + DetectStable P2
@@ -246,10 +246,19 @@ def train_one(model_key: str, root: Path, imgsz: int, epochs: int, batch: int,
         # lr0=0.01, NOT stage1's 0.002: the reference's committed headline
         # runs used optimizer=auto, which resolves to SGD lr 0.01 and IGNORES
         # the configured lr0 (SURVEY §6 golden recipe).
+        # optimizer: the reference default is "auto" (cfg/default.yaml),
+        # whose rule picks AdamW(lr=0.002*5/(4+nc)) below 10k total
+        # iterations and SGD 0.01 above (reference trainer.py:779-788). The
+        # VisDrone headline resolved to SGD (>250k iters); THIS benchmark's
+        # ~6k iters resolve to AdamW — forcing SGD here is exactly the
+        # small-data misconfiguration the auto rule exists to prevent
+        # (measured: SGD 0.01 is val-unstable for the flagship, 0.005
+        # converges ~3x slower than the baselines; PERF.md round-5).
+        opt = optimizer if optimizer else ("SGD" if lr0 is not None else "auto")
         trainer = DetectionTrainer(
             overrides={**model.overrides, **common, "mode": "train",
-                       "lr0": lr0 if lr0 is not None else 0.01,
-                       "optimizer": "SGD"},
+                       **({"lr0": lr0} if lr0 is not None else {}),
+                       "optimizer": opt},
             model=model.model)
         trainer.add_callback("on_train_epoch_start",
                              create_staged_training_callback(stages))
@@ -344,6 +353,9 @@ def main():
                         "val-unstable for the 13.5M flagship on 20-step "
                         "epochs, 0.001 crawls; see PERF.md round-5)")
     p.add_argument("--patience", type=int, default=None)
+    p.add_argument("--optimizer", default=None,
+                   help="staged-leg optimizer (default: auto rule unless "
+                        "--lr0 forces SGD)")
     args = p.parse_args()
     if args.cmd == "gen":
         make_sod_dataset(args.root, args.n_train, args.n_val)
@@ -351,7 +363,7 @@ def main():
         train_one(args.model, args.root, args.imgsz, args.epochs, args.batch,
                   resume=args.resume, close_p2_until=args.close_p2_until,
                   staged_lr=args.staged_lr, lr0=args.lr0,
-                  patience=args.patience)
+                  patience=args.patience, optimizer=args.optimizer)
     elif args.cmd == "valbest":
         valbest(args.root, args.imgsz, args.batch)
     else:
